@@ -215,9 +215,12 @@ def build_mesh(inp: ProjectInput) -> MeshData:
     nx_, ny_, nz_ = nunit.T
     nz_cl = np.clip(nz_, 0.0, 1.0)
     slope_angle = np.arctan2(np.hypot(nx_, ny_), nz_cl)
+    # reference wraps with its truncated PI constant (Macros.hpp:46) — kept
+    # for bit-parity of the aspect diagnostic
+    ref_2pi = 2.0 * 3.1415926
     aspect = np.arctan2(nx_, ny_)
-    aspect = np.where(aspect < 0.0, aspect + 2.0 * np.pi, aspect)
-    aspect = np.where(aspect >= 2.0 * np.pi, aspect - 2.0 * np.pi, aspect)
+    aspect = np.where(aspect < 0.0, aspect + ref_2pi, aspect)
+    aspect = np.where(aspect >= ref_2pi, aspect - ref_2pi, aspect)
     aspect = np.where(slope_angle < 1e-6, 0.0, aspect)
 
     # ---------------- parameter tables with calibration -------------------

@@ -169,6 +169,123 @@ double oracle_solar(double t, double lat, double lon, double *az, double *decl) 
     *decl = sp.declination;
     return sp.cosZ;
 }
+
+int oracle_get_ele_field(const char *name, double *out) {
+    int ne = MD->NumEle;
+    std::string s(name);
+    for (int i = 0; i < ne; i++) {
+        _Element &E = MD->Ele[i];
+        double v = 0;
+        if (s == "area") v = E.area;
+        else if (s == "x") v = E.x;
+        else if (s == "y") v = E.y;
+        else if (s == "z_surf") v = E.z_surf;
+        else if (s == "z_bottom") v = E.z_bottom;
+        else if (s == "AquiferDepth") v = E.AquiferDepth;
+        else if (s == "WetlandLevel") v = E.WetlandLevel;
+        else if (s == "RootReachLevel") v = E.RootReachLevel;
+        else if (s == "MacporeLevel") v = E.MacporeLevel;
+        else if (s == "FixPressure") v = E.FixPressure;
+        else if (s == "infKsatV") v = E.infKsatV;
+        else if (s == "ThetaS") v = E.ThetaS;
+        else if (s == "ThetaFC") v = E.ThetaFC;
+        else if (s == "ThetaR") v = E.ThetaR;
+        else if (s == "Alpha") v = E.Alpha;
+        else if (s == "Beta") v = E.Beta;
+        else if (s == "hAreaF") v = E.hAreaF;
+        else if (s == "macKsatV") v = E.macKsatV;
+        else if (s == "infD") v = E.infD;
+        else if (s == "KsatH") v = E.KsatH;
+        else if (s == "KsatV") v = E.KsatV;
+        else if (s == "Sy") v = E.Sy;
+        else if (s == "geo_ThetaS") v = E.geo_ThetaS;
+        else if (s == "geo_ThetaR") v = E.geo_ThetaR;
+        else if (s == "geo_vAreaF") v = E.geo_vAreaF;
+        else if (s == "macKsatH") v = E.macKsatH;
+        else if (s == "macD") v = E.macD;
+        else if (s == "VegFrac") v = E.VegFrac;
+        else if (s == "Albedo") v = E.Albedo;
+        else if (s == "Rough") v = E.Rough;
+        else if (s == "RzD") v = E.RzD;
+        else if (s == "nx") v = E.nx;
+        else if (s == "ny") v = E.ny;
+        else if (s == "nz") v = E.nz;
+        else if (s == "slopeAngle") v = E.slopeAngle;
+        else if (s == "aspect") v = E.aspect;
+        else if (s == "depression") v = E.depression;
+        else if (s == "edge0") v = E.edge[0];
+        else if (s == "edge1") v = E.edge[1];
+        else if (s == "edge2") v = E.edge[2];
+        else if (s == "Dist2Edge0") v = E.Dist2Edge[0];
+        else if (s == "Dist2Edge1") v = E.Dist2Edge[1];
+        else if (s == "Dist2Edge2") v = E.Dist2Edge[2];
+        else if (s == "Dist2Nabor0") v = E.Dist2Nabor[0];
+        else if (s == "Dist2Nabor1") v = E.Dist2Nabor[1];
+        else if (s == "Dist2Nabor2") v = E.Dist2Nabor[2];
+        else if (s == "avgRough0") v = E.avgRough[0];
+        else if (s == "avgRough1") v = E.avgRough[1];
+        else if (s == "avgRough2") v = E.avgRough[2];
+        else if (s == "nabr0") v = E.nabr[0];
+        else if (s == "nabr1") v = E.nabr[1];
+        else if (s == "nabr2") v = E.nabr[2];
+        else if (s == "lakenabr0") v = E.lakenabr[0];
+        else if (s == "lakenabr1") v = E.lakenabr[1];
+        else if (s == "lakenabr2") v = E.lakenabr[2];
+        else if (s == "iLake") v = E.iLake;
+        else if (s == "iBC") v = E.iBC;
+        else if (s == "iSS") v = E.iSS;
+        else return -1;
+        out[i] = v;
+    }
+    return ne;
 }
+
+int oracle_get_riv_field(const char *name, double *out) {
+    int nr = MD->NumRiv;
+    std::string s(name);
+    for (int i = 0; i < nr; i++) {
+        _River &R = MD->Riv[i];
+        double v = 0;
+        if (s == "down") v = R.down;
+        else if (s == "BC") v = R.BC;
+        else if (s == "toLake") v = R.toLake;
+        else if (s == "Length") v = R.Length;
+        else if (s == "BedSlope") v = R.BedSlope;
+        else if (s == "depth") v = R.depth;
+        else if (s == "bankslope") v = R.bankslope;
+        else if (s == "BottomWidth") v = R.BottomWidth;
+        else if (s == "Sinuosity") v = R.Sinuosity;
+        else if (s == "rivRough") v = R.rivRough;
+        else if (s == "Cwr") v = R.Cwr;
+        else if (s == "KsatH") v = R.KsatH;
+        else if (s == "BedThick") v = R.BedThick;
+        else if (s == "avgRough") v = R.avgRough;
+        else if (s == "Dist2DownStream") v = R.Dist2DownStream;
+        else if (s == "zbank") v = R.zbank;
+        else return -1;
+        out[i] = v;
+    }
+    return nr;
+}
+
+int oracle_get_seg_field(const char *name, double *out) {
+    int ns = MD->NumSegmt;
+    std::string s(name);
+    for (int i = 0; i < ns; i++) {
+        RiverSegement &G = MD->RivSeg[i];
+        double v = 0;
+        if (s == "iRiv") v = G.iRiv;
+        else if (s == "iEle") v = G.iEle;
+        else if (s == "length") v = G.length;
+        else if (s == "eqDistance") v = G.eqDistance;
+        else if (s == "Cwr") v = G.Cwr;
+        else if (s == "KsatH") v = G.KsatH;
+        else return -1;
+        out[i] = v;
+    }
+    return ns;
+}
+}
+
 """
 print(HARNESS)

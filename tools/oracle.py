@@ -89,6 +89,22 @@ class Oracle:
         self.lib.oracle_f(t, self._ptr(y), self._ptr(dy))
         return dy
 
+    def _get_field(self, fn, name: str, n: int) -> np.ndarray:
+        buf = np.zeros(n)
+        got = fn(name.encode(), self._ptr(buf))
+        if got < 0:
+            raise KeyError(name)
+        return buf[:got]
+
+    def ele_field(self, name: str) -> np.ndarray:
+        return self._get_field(self.lib.oracle_get_ele_field, name, self.ne)
+
+    def riv_field(self, name: str) -> np.ndarray:
+        return self._get_field(self.lib.oracle_get_riv_field, name, self.nr)
+
+    def seg_field(self, name: str) -> np.ndarray:
+        return self._get_field(self.lib.oracle_get_seg_field, name, self.ns)
+
     def solar(self, t: float, lat: float, lon: float):
         az = ctypes.c_double(); decl = ctypes.c_double()
         cosz = self.lib.oracle_solar(t, lat, lon, ctypes.byref(az), ctypes.byref(decl))

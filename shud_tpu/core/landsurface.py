@@ -1,0 +1,209 @@
+"""Land-surface forcing transform, potential ET, and bucket stores.
+
+Vectorises ``Model_Data::tReadForcing`` (MD_ET.cpp:21-281: per-cell forcing
+with lapse-rate temperature, TSR-scaled shortwave, Penman–Monteith PET) and
+``Model_Data::ET`` (MD_ET.cpp:282-342: snow + canopy-interception buckets,
+explicit step at the forcing cadence).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from shud_tpu.config import (
+    CONST_RH,
+    CP_AIR,
+    DTDZ,
+    IC_MAX,
+    NA_VALUE,
+    ROUGHNESS_WATER,
+    SEC_A_DAY,
+    T0_MELT,
+    TRAIN,
+    TSNOW,
+    ZERO,
+)
+
+
+class CalibScalars(NamedTuple):
+    c_prcp: jnp.ndarray
+    c_temp: jnp.ndarray
+    c_lai: jnp.ndarray
+    c_mf: jnp.ndarray
+    c_etp: jnp.ndarray
+    c_ismax: jnp.ndarray
+
+
+class CellForcing(NamedTuple):
+    """Per-cell forcing at one step (the t_* arrays of the reference)."""
+
+    prcp: jnp.ndarray  # [m/min]
+    temp: jnp.ndarray  # [C]
+    rh: jnp.ndarray
+    wind: jnp.ndarray  # [m/s]
+    rn: jnp.ndarray  # net MJ/m2/s
+    lai: jnp.ndarray
+    mf: jnp.ndarray  # [m/min/C]
+    pot_evap: jnp.ndarray  # [m/min]
+    pot_tran: jnp.ndarray  # [m/min]
+    etp: jnp.ndarray  # [m/min]
+    rn_h: jnp.ndarray  # diagnostic: horizontal-plane SW [W/m2]
+    rn_t: jnp.ndarray  # diagnostic: terrain-corrected SW [W/m2]
+    rn_factor: jnp.ndarray  # diagnostic: TSR factor
+
+
+def cell_forcing(
+    m,
+    forc_vals,  # [S, 5] station (prcp mm/d, temp C, rh, wind, rn W/m2)
+    station_z,  # [S]
+    lai_vals,  # [C_lai] LAI columns (1-based LC index selects col iLC-1)
+    mf_vals,  # [C_mf]
+    factor,  # [Ne] TSR factor for the current forcing interval (1.0 if off)
+    cal: CalibScalars,
+    swnet_mode: bool = False,
+    terrain_radiation: bool = True,
+) -> CellForcing:
+    ifc = m.i_forc - 1  # [Ne] 0-based station
+    prcp_mmday = forc_vals[ifc, 0] * cal.c_prcp
+    t0 = forc_vals[ifc, 1]
+    zt = station_z[ifc]
+    # TemperatureOnElevation (Equations.hpp:66-73): NA station z -> no lapse
+    lapse_ok = (zt != NA_VALUE) & (m.z_surf != NA_VALUE)
+    temp = jnp.where(lapse_ok, t0 + (zt - m.z_surf) * DTDZ, t0) + cal.c_temp
+
+    lai = lai_vals[m.i_lc - 1] * cal.c_lai
+    mf = mf_vals[m.i_mf - 1] * cal.c_mf / 1440.0
+
+    dswrf_h = forc_vals[ifc, 4]
+    if terrain_radiation:
+        dswrf_t = dswrf_h * factor
+    else:
+        factor = jnp.ones_like(dswrf_h)
+        dswrf_t = dswrf_h
+    if swnet_mode:
+        rn = dswrf_t
+    else:
+        rn = dswrf_t * (1.0 - m.albedo)
+
+    wind = jnp.abs(forc_vals[ifc, 3]) + 0.001
+    rh = jnp.clip(forc_vals[ifc, 2], CONST_RH, 1.0)
+    prcp = prcp_mmday * 0.001 / 1440.0
+    rn = rn * 1.0e-6  # W/m2 -> MJ/m2/s
+
+    # Penman-Monteith pieces (is_sm_et.hpp; Maidment Handbook eq 4.2.x)
+    lam = 2.501 - 0.002361 * temp
+    gamma = 0.0016286 * m.fix_pressure / lam
+    es = 0.6108 * jnp.exp(17.27 * temp / (temp + 237.3))
+    ed = es * (1.0 - rh)
+    delta = 4098.0 * es / (temp + 237.3) ** 2
+    rho = 3.486 * m.fix_pressure / (275.0 + temp)
+
+    is_lake = m.i_lake > 0
+    ghf = jnp.where(
+        is_lake,
+        0.0,
+        jnp.where(lai > 0.0, 0.4 * jnp.exp(-0.5 * lai) * rn, 0.1 * rn),
+    )
+    rg = rn - ghf
+
+    # open-water PET (eq 4.2.30), wind at 2 m via log profile
+    u2 = wind * jnp.log(2.0 / ROUGHNESS_WATER) / jnp.log(
+        m.wind_h / ROUGHNESS_WATER
+    )
+    pet_ow = (
+        (delta * rg * SEC_A_DAY + gamma * 6.43 * (1.0 + 0.536 * u2) * ed)
+        / (delta + gamma)
+    ) / lam * 0.001 / SEC_A_DAY  # [m/s]
+    pot_evap = cal.c_etp * pet_ow * 60.0  # [m/min]
+
+    # vegetation PM transpiration (eq 4.2.27)
+    hc = lai * 0.5
+    zm = hc * 1.3333
+    d = 0.67 * hc
+    z_om = 0.123 * hc
+    z_ov = 0.0123 * hc
+    safe = lai > 0.0
+    z_om_s = jnp.where(safe, z_om, 1.0)
+    z_ov_s = jnp.where(safe, z_ov, 1.0)
+    ra = (
+        jnp.log(jnp.abs(zm - d) / z_om_s)
+        * jnp.log(jnp.abs(zm - d) / z_ov_s)
+        / (0.4 * 0.4 * wind)
+    )
+    rs = 200.0 / jnp.where(safe, lai, 1.0)
+    e_rad = delta * rg
+    e_air = rho * CP_AIR * ed / jnp.where(safe, ra, 1.0)
+    pm = (e_rad + e_air) / (delta + gamma * (1.0 + rs / jnp.where(safe, ra, 1.0)))
+    pot_tran_raw = cal.c_etp * (pm / lam * 0.001) * 60.0
+
+    veg = safe & ~is_lake
+    pot_tran = jnp.where(veg, pot_tran_raw, 0.0)
+    etp = jnp.where(
+        veg,
+        pot_tran * m.veg_frac + pot_evap * (1.0 - m.veg_frac),
+        pot_evap,
+    )
+
+    return CellForcing(
+        prcp=prcp, temp=temp, rh=rh, wind=wind, rn=rn, lai=lai, mf=mf,
+        pot_evap=pot_evap, pot_tran=pot_tran, etp=etp,
+        rn_h=dswrf_h, rn_t=dswrf_t, rn_factor=factor,
+    )
+
+
+class BucketState(NamedTuple):
+    ic_stg: jnp.ndarray  # yEleIS canopy interception [m]
+    snow: jnp.ndarray  # yEleSnow [m SWE]
+
+
+class BucketOut(NamedTuple):
+    state: BucketState
+    net_prcp: jnp.ndarray  # qEleNetPrep [m/min]
+    e_ic: jnp.ndarray  # qEleE_IC [m/min]
+    sn_frac: jnp.ndarray
+
+
+def frozen_fraction(t, high, low):
+    x = (high - t) / (high - low)
+    return jnp.where(t > high, 0.0, jnp.where(t < low, 1.0, jnp.clip(x, 0.0, 1.0)))
+
+
+def et_bucket_step(
+    m, cf: CellForcing, bs: BucketState, dt_min, c_ismax
+) -> BucketOut:
+    """Snow + interception bucket update (``Model_Data::ET``,
+    MD_ET.cpp:282-342).  Explicit step over ``dt_min`` minutes."""
+    t = cf.temp
+    prcp = cf.prcp
+    sn_frac = frozen_fraction(t, TRAIN, TSNOW)
+    sn_acc = sn_frac * prcp
+    sn_melt = jnp.where(t > T0_MELT, (t - T0_MELT) * cf.mf, 0.0)
+    sn_melt = jnp.minimum(
+        jnp.maximum(0.0, bs.snow / dt_min), jnp.maximum(0.0, sn_melt)
+    )
+    snow = bs.snow + (sn_acc - sn_melt) * dt_min
+
+    vg = m.veg_frac
+    ic_stg = jnp.where(vg > ZERO, bs.ic_stg / jnp.where(vg > ZERO, vg, 1.0), 0.0)
+    has_lai = cf.lai > ZERO
+    ic_max = c_ismax * IC_MAX * cf.lai
+    ic_acc = jnp.where(
+        has_lai,
+        jnp.minimum(prcp - sn_acc, jnp.maximum(0.0, (ic_max - ic_stg) / dt_min)),
+        0.0,
+    )
+    ic_evap = jnp.where(
+        has_lai,
+        jnp.minimum(jnp.maximum(0.0, ic_stg / dt_min), cf.pot_evap),
+        0.0,
+    )
+    ic_stg = ic_stg + (ic_acc - ic_evap) * dt_min
+
+    return BucketOut(
+        state=BucketState(ic_stg=ic_stg * vg, snow=snow),
+        net_prcp=(1.0 - sn_frac) * prcp + sn_melt - ic_acc * vg,
+        e_ic=ic_evap * vg,
+        sn_frac=sn_frac,
+    )

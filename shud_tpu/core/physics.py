@@ -29,8 +29,14 @@ __all__ = [
 ]
 
 
+# Tiny positive floor used to keep sqrt/cbrt JVP-safe at exactly-zero
+# arguments (d sqrt(x)/dx -> inf at 0 poisons Newton's exact JVPs).  The
+# floors are value-neutral at f64 (relative value error < 1e-15).
+_TINY = 1.0e-30
+
+
 def pow23(x):
-    t = jnp.cbrt(x)
+    t = jnp.cbrt(jnp.maximum(x, _TINY))
     return t * t
 
 
@@ -40,7 +46,7 @@ def mean_harmonic(k1, k2, d1, d2):
 
 def manning_equation(area, rough, r, s):
     """Signed-slope Manning (Equations.hpp:54-63). Q in m^3/min."""
-    q_pos = jnp.sqrt(jnp.abs(s)) * area * pow23(r) / rough
+    q_pos = jnp.sqrt(jnp.maximum(jnp.abs(s), _TINY)) * area * pow23(r) / rough
     return jnp.where(s > 0, q_pos, -q_pos)
 
 
@@ -92,14 +98,16 @@ def weir_flow_jtoi(zi, yi, zj, yj, zbank, cwr, width, threshold):
     y_pos = jnp.where(hi > zbank, dh, y0)
     q_pos = jnp.where(
         (y0 > 0.0) & (yj > threshold),
-        cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_pos, 0.0)) * width * y_pos * 60.0,
+        cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_pos, _TINY)) * width
+        * y_pos * 60.0,
         0.0,
     )
     # dh <= 0 branch (i -> j, negative)
     y_neg = jnp.where(hj > zbank, -dh, y0)
     q_neg = jnp.where(
         (y0 > 0.0) & (yi > threshold),
-        -cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_neg, 0.0)) * width * y_neg * 60.0,
+        -cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_neg, _TINY)) * width
+        * y_neg * 60.0,
         0.0,
     )
     return jnp.where(dh > 0.0, q_pos, q_neg)
@@ -132,7 +140,7 @@ def fun_da_to_dy(da, w_top, s):
     quad = jnp.where(
         cc < ZERO,
         -w_top / (2.0 * s_abs),
-        (-w_top + jnp.sqrt(jnp.maximum(cc, 0.0))) / (2.0 * s_abs),
+        (-w_top + jnp.sqrt(jnp.maximum(cc, _TINY))) / (2.0 * s_abs),
     )
     EPS_SLOPE = 0.05e-6
     dy = jnp.where(s_abs < EPS_SLOPE, da / w_top, quad)

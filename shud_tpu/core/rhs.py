@@ -293,8 +293,9 @@ def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
     r_csa = jnp.maximum(
         riv_stage * (m.riv_bottom_width + riv_stage * m.riv_bank_slope), 0.0
     )
+    # 2*sqrt(y^2 + (y s)^2) == 2|y| sqrt(1+s^2): identical value, JVP-safe
     r_per = jnp.maximum(
-        2.0 * jnp.sqrt(riv_stage**2 + (riv_stage * m.riv_bank_slope) ** 2)
+        2.0 * jnp.abs(riv_stage) * jnp.sqrt(1.0 + m.riv_bank_slope**2)
         + m.riv_bottom_width,
         0.0,
     )
@@ -364,7 +365,7 @@ def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
     # outlets: codes -1/-2/-3 zero-depth-gradient; -4.. lake / critical depth
     s_out = m.riv_bed_slope + riv_stage * 2.0 / m.riv_length
     q_out_zdg = ph.manning_equation(r_csa, m.riv_avg_rough, r_hyd, s_out)
-    q_out_crit = r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 0.0)) * 60.0
+    q_out_crit = r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 1e-30)) * 60.0
     to_lake = m.riv_to_lake >= 0
     q_riv_down = jnp.where(
         to_lake,

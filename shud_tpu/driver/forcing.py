@@ -1,0 +1,168 @@
+"""Forcing runtime: dense step-function arrays + per-window slice assembly.
+
+The reference streams CSV rows through a ring buffer with step-function
+semantics (``TimeSeriesData::getX/movePointer``); here all series are dense
+host arrays indexed by ``searchsorted`` — identical step semantics
+(current-interval value, no interpolation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from shud_tpu.core import solar
+from shud_tpu.core.landsurface import CalibScalars
+from shud_tpu.core.mesh import MeshData
+from shud_tpu.io.project import ProjectInput
+
+
+@dataclasses.dataclass
+class ForcingRuntime:
+    # station forcing, one merged time axis per station set
+    t_axis: np.ndarray  # [K] interval start times (station 0's axis)
+    fvals: np.ndarray  # [K, S, 5]
+    station_z: jnp.ndarray  # [S]
+    lai_t: np.ndarray
+    lai_vals: np.ndarray  # [Kl, C]
+    mf_t: np.ndarray
+    mf_vals: np.ndarray
+    cal: CalibScalars
+    # TSR per-interval solar samples
+    tsr_sx: np.ndarray  # [K, n]
+    tsr_sy: np.ndarray
+    tsr_sz: np.ndarray
+    tsr_wdt: np.ndarray
+    tsr_den: np.ndarray  # [K]
+    terrain_radiation: bool
+    swnet_mode: bool
+    rad_factor_cap: float
+    rad_cosz_min: float
+    # boundary conditions (optional)
+    bc: dict = dataclasses.field(default_factory=dict)
+
+    def interval_index(self, t: float) -> int:
+        return int(np.searchsorted(self.t_axis, t + 1e-9, side="right") - 1)
+
+    def station_values(self, t: float) -> np.ndarray:
+        return self.fvals[self.interval_index(t)]
+
+    def lai_at(self, t: float) -> np.ndarray:
+        return self.lai_vals[
+            int(np.searchsorted(self.lai_t, t + 1e-9, side="right") - 1)
+        ]
+
+    def mf_at(self, t: float) -> np.ndarray:
+        return self.mf_vals[
+            int(np.searchsorted(self.mf_t, t + 1e-9, side="right") - 1)
+        ]
+
+    def tsr_sample(self, t: float):
+        ki = self.interval_index(t)
+        return (
+            self.tsr_sx[ki], self.tsr_sy[ki], self.tsr_sz[ki],
+            self.tsr_wdt[ki], self.tsr_den[ki],
+        )
+
+    def bc_values(self, md: MeshData, t: float):
+        """Resolve per-entity BC/SS values at time t (step semantics),
+        mirroring ``f_update``'s TSD lookups (MD_update.cpp:110-168)."""
+        ne, nr = md.num_ele, md.num_riv
+        out = {
+            "ele_ybc": np.zeros(ne), "ele_qbc": np.zeros(ne),
+            "ele_qss": np.zeros(ne),
+            "riv_ybc": np.zeros(nr), "riv_qbc": np.zeros(nr),
+        }
+
+        def lookup(key):
+            ts, vals = self.bc[key]
+            k = int(np.searchsorted(ts, t + 1e-9, side="right") - 1)
+            return vals[max(k, 0)]
+
+        if "ele_y" in self.bc:
+            row = lookup("ele_y")
+            sel = md.i_bc > 0
+            out["ele_ybc"][sel] = row[md.i_bc[sel] - 1]
+        if "ele_q" in self.bc:
+            row = lookup("ele_q")
+            sel = md.i_bc < 0
+            out["ele_qbc"][sel] = row[-md.i_bc[sel] - 1]
+        if "ele_ss" in self.bc:
+            row = lookup("ele_ss")
+            sel = md.i_ss != 0
+            out["ele_qss"][sel] = row[np.abs(md.i_ss[sel]) - 1]
+        if "riv_y" in self.bc:
+            row = lookup("riv_y")
+            sel = md.riv_bc > 0
+            out["riv_ybc"][sel] = row[md.riv_bc[sel] - 1]
+        if "riv_q" in self.bc:
+            row = lookup("riv_q")
+            sel = md.riv_bc < 0
+            out["riv_qbc"][sel] = row[-md.riv_bc[sel] - 1]
+        return out
+
+
+def build_forcing(inp: ProjectInput, md: MeshData) -> ForcingRuntime:
+    cs = inp.control
+    # merge stations onto station-0's time axis (the usual case is a shared
+    # axis; per-station step lookup falls back to searchsorted per station)
+    t_axis = inp.forc.t_min[0]
+    k = len(t_axis)
+    s = inp.forc.num_stations
+    fvals = np.zeros((k, s, 5))
+    for j in range(s):
+        tj = inp.forc.t_min[j]
+        if len(tj) == k and np.array_equal(tj, t_axis):
+            fvals[:, j, :] = inp.forc.data[j][:, :5]
+        else:
+            idx = np.clip(
+                np.searchsorted(tj, t_axis + 1e-9, side="right") - 1, 0, None
+            )
+            fvals[:, j, :] = inp.forc.data[j][idx, :5]
+
+    cal = CalibScalars(
+        c_prcp=jnp.asarray(inp.calib.ts_prcp),
+        c_temp=jnp.asarray(inp.calib.ts_sfctmp_add),
+        c_lai=jnp.asarray(inp.calib.ts_lai),
+        c_mf=jnp.asarray(inp.calib.ts_mf),
+        c_etp=jnp.asarray(inp.calib.et_etp),
+        c_ismax=jnp.asarray(inp.calib.lc_ismax),
+    )
+
+    # solar lon/lat selection (read_forc_csv, MD_readin.cpp:645-717)
+    if cs.solar_lonlat_mode == 2:
+        lon, lat = cs.solar_lon_deg_fixed, cs.solar_lat_deg_fixed
+    elif cs.solar_lonlat_mode == 1:
+        lon, lat = float(np.mean(inp.forc.lon)), float(np.mean(inp.forc.lat))
+    else:
+        lon, lat = float(inp.forc.lon[0]), float(inp.forc.lat[0])
+    cs.solar_lon_deg, cs.solar_lat_deg = lon, lat
+
+    t1 = np.concatenate(
+        [t_axis[1:], [t_axis[-1] + (t_axis[-1] - t_axis[-2])]]
+    ) if k > 1 else t_axis + cs.solver_step
+    if cs.terrain_radiation:
+        sx, sy, sz, wdt, den = solar.interval_samples(
+            t_axis, t1, cs.tsr_integration_step_min, lat, lon,
+            inp.forc.start_yyyymmdd,
+        )
+    else:
+        sx = sy = sz = wdt = np.zeros((k, 1))
+        den = np.zeros(k)
+
+    bc = {}
+    for key, pair in inp.bc.items():
+        bc[key] = (pair[0], pair[1])
+
+    return ForcingRuntime(
+        t_axis=t_axis, fvals=fvals,
+        station_z=jnp.asarray(inp.forc.xyz[:, 2]),
+        lai_t=inp.lai_t, lai_vals=inp.lai, mf_t=inp.mf_t, mf_vals=inp.mf,
+        cal=cal, tsr_sx=sx, tsr_sy=sy, tsr_sz=sz, tsr_wdt=wdt, tsr_den=den,
+        terrain_radiation=bool(cs.terrain_radiation),
+        swnet_mode=(cs.radiation_input_mode == 1),
+        rad_factor_cap=cs.rad_factor_cap, rad_cosz_min=cs.rad_cosz_min,
+        bc=bc,
+    )

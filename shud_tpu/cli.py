@@ -1,0 +1,49 @@
+"""Command-line entry: ``python -m shud_tpu [options] <project>``.
+
+Mirrors the reference CLI (``src/classes/CommandIn.cpp:188-278``):
+``./shud <prj>`` reads ``input/<prj>/<prj>.*`` and writes
+``output/<prj>.out/``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="shud_tpu",
+        description="TPU-native SHUD-class watershed hydrology model",
+    )
+    p.add_argument("project", help="project name (input/<prj>/<prj>.*)")
+    p.add_argument("-0", "--dummy", action="store_true", dest="dummy",
+                   help="dummy run: IO pipeline only, no solving")
+    p.add_argument("-c", "--calib", default=None,
+                   help="calibration file (.cfg.calib)")
+    p.add_argument("-o", "--output", default=None, help="output folder")
+    p.add_argument("-b", "--base", default=".", help="base directory")
+    p.add_argument("-e", "--end-day", type=float, default=None,
+                   help="override END day")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from shud_tpu.driver.run import run_project
+
+    run_project(
+        args.project,
+        base=args.base,
+        end_day=args.end_day,
+        verbose=not args.quiet,
+        dummy=args.dummy,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -7,21 +7,22 @@ TPU-native design:
 * variable-step, variable-order BDF(1,2) with history carried across solver
   windows (like CVODE, the method does NOT restart at forcing boundaries);
 * modified Newton inner iterations with **exact** Jacobian-vector products
-  from ``jax.linearize`` (CVODE can only difference-quotient J·v — exact
-  JVPs converge faster);
+  from ``jax.linearize`` (CVODE can only difference-quotient J·v);
 * matrix-free GMRES(m) for the Newton linear systems (SPGMR equivalent);
 * WRMS error control with per-component weights 1/(rtol·|y| + atol),
   a standard step controller, min/max step bounds and exact stop-at-tout —
   all inside one ``lax.while_loop`` so a single device dispatch integrates an
   entire output window.
 
-Within a window the RHS is autonomous (the driver freezes the forcing slice,
-exactly as the reference driver refreshes forcing only between CVode calls,
-``shud.cpp:91-155``), which the error estimator exploits: the predictor
-reuses f(y_n) computed once per step.
+The state is any pytree (single-chip: one concatenated vector; multi-chip:
+sharded cell blocks + replicated river/lake arrays — the solver code is
+layout-agnostic and XLA inserts the cross-device ``psum`` for the few global
+dot products, which are the ONLY global communication in the whole solve,
+mirroring CVODE's SPGMR dot products).
 
-NFE is tracked in-carry (the reference's ``nFCall``; the cell-steps/s
-benchmark metric is NumEle × NFE / wall).
+Within a window the RHS is autonomous (the driver freezes the forcing slice,
+exactly as the reference refreshes forcing only between CVode calls,
+``shud.cpp:91-155``).  NFE is tracked in-carry (the reference's ``nFCall``).
 """
 
 from __future__ import annotations
@@ -32,6 +33,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from shud_tpu.solver.tree import (
+    taxpy,
+    tdot,
+    tewt,
+    tmap,
+    tsize,
+    twhere,
+    twrms,
+)
 
 
 class SolverConfig(NamedTuple):
@@ -51,82 +62,88 @@ class SolverConfig(NamedTuple):
 
 class BDFState(NamedTuple):
     t: jnp.ndarray
-    y: jnp.ndarray
-    y_prev: jnp.ndarray  # state at t - h_prev
+    y: object  # pytree
+    y_prev: object  # pytree, state at t - h_prev
     h: jnp.ndarray  # next step size to attempt
     h_prev: jnp.ndarray  # last successful step size
     order: jnp.ndarray  # current order (1 or 2)
-    nfe: jnp.ndarray  # RHS evaluation count
+    nfe: jnp.ndarray
     nsteps: jnp.ndarray
-    nfails: jnp.ndarray  # error-test failures
-    nnifails: jnp.ndarray  # Newton failures
+    nfails: jnp.ndarray
+    nnifails: jnp.ndarray
 
 
 def bdf_init(t0, y0, cfg: SolverConfig) -> BDFState:
-    y0 = jnp.asarray(y0)
+    leaves = jax.tree_util.tree_leaves(y0)
+    dtype = leaves[0].dtype
     z = jnp.zeros((), dtype=jnp.int64)
     return BDFState(
-        t=jnp.asarray(t0, dtype=y0.dtype),
+        t=jnp.asarray(t0, dtype=dtype),
         y=y0,
         y_prev=y0,
-        h=jnp.asarray(cfg.h_init, dtype=y0.dtype),
-        h_prev=jnp.asarray(cfg.h_init, dtype=y0.dtype),
+        h=jnp.asarray(cfg.h_init, dtype=dtype),
+        h_prev=jnp.asarray(cfg.h_init, dtype=dtype),
         order=jnp.ones((), dtype=jnp.int64),
         nfe=z, nsteps=z, nfails=z, nnifails=z,
     )
 
 
-def _wrms(x, ewt):
-    return jnp.sqrt(jnp.mean((x * ewt) ** 2))
-
-
 def _gmres(matvec, b, m):
-    """Single-cycle matrix-free GMRES(m), modified Gram-Schmidt, x0 = 0.
-
-    m is small and static (SPGMR default 5), so the Arnoldi loop unrolls at
-    trace time into pure fused vector ops."""
-    dtype = b.dtype
-    beta = jnp.linalg.norm(b)
+    """Single-cycle matrix-free GMRES(m) on pytrees, modified Gram-Schmidt,
+    x0 = 0.  m is small and static (SPGMR default 5), so the Arnoldi loop
+    unrolls at trace time into fused vector ops; the dot products are the
+    only global reductions."""
+    leaves = jax.tree_util.tree_leaves(b)
+    dtype = leaves[0].dtype
+    beta = jnp.sqrt(tdot(b, b))
     safe = jnp.where(beta > 0, beta, 1.0)
-    vs = [b / safe]
+    vs = [tmap(lambda l: l / safe, b)]
     h = jnp.zeros((m + 1, m), dtype=dtype)
     for j in range(m):
         w = matvec(vs[j])
         for i in range(j + 1):
-            hij = jnp.vdot(vs[i], w)
+            hij = tdot(vs[i], w)
             h = h.at[i, j].set(hij)
-            w = w - hij * vs[i]
-        wnorm = jnp.linalg.norm(w)
+            w = taxpy(-hij, vs[i], w)
+        wnorm = jnp.sqrt(tdot(w, w))
         h = h.at[j + 1, j].set(wnorm)
-        vs.append(w / jnp.where(wnorm > 0, wnorm, 1.0))
+        wsafe = jnp.where(wnorm > 0, wnorm, 1.0)
+        vs.append(tmap(lambda l: l / wsafe, w))
     e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
     yls, *_ = jnp.linalg.lstsq(h, e1, rcond=None)
-    x = jnp.tensordot(yls, jnp.stack(vs[:m], axis=0), axes=1)
-    return jnp.where(beta > 0, x, jnp.zeros_like(b))
+    x = vs[0]
+    x = tmap(lambda l: l * yls[0], x)
+    for j in range(1, m):
+        x = taxpy(yls[j], vs[j], x)
+    return twhere(beta > 0, x, tmap(jnp.zeros_like, b))
 
 
 def _newton(f, t_new, y_guess, c0, bh, ewt, cfg: SolverConfig):
     """Solve y = c0 + bh·f(t_new, y) by Newton-GMRES with exact JVPs.
-
     Returns (y, converged, nfe_used)."""
 
     def body(carry):
         y, _, it, nfe = carry
         fy, jvp = jax.linearize(lambda yy: f(t_new, yy), y)
-        res = y - bh * fy - c0
+        # residual: y - bh*f(y) - c0
+        res = tmap(lambda ly, lf, lc: ly - bh * lf - lc, y, fy, c0)
 
         def matvec(v):
-            return v - bh * jvp(v)
+            jv = jvp(v)
+            return tmap(lambda lv, lj: lv - bh * lj, v, jv)
 
-        dy = _gmres(matvec, -res, cfg.krylov_m)
-        dnorm = _wrms(dy, ewt)
-        return (y + dy, dnorm, it + 1, nfe + 1 + cfg.krylov_m)
+        neg_res = tmap(jnp.negative, res)
+        dy = _gmres(matvec, neg_res, cfg.krylov_m)
+        dnorm = twrms(dy, ewt)
+        y_new = tmap(jnp.add, y, dy)
+        return (y_new, dnorm, it + 1, nfe + 1 + cfg.krylov_m)
 
     def cond(carry):
         _, dnorm, it, _ = carry
         return (it < cfg.newton_iters) & (dnorm > cfg.newton_tol)
 
-    dtype = y_guess.dtype
+    leaves = jax.tree_util.tree_leaves(y_guess)
+    dtype = leaves[0].dtype
     carry = (
         y_guess,
         jnp.asarray(jnp.inf, dtype=dtype),
@@ -141,10 +158,8 @@ def _newton(f, t_new, y_guess, c0, bh, ewt, cfg: SolverConfig):
 @partial(jax.jit, static_argnums=(0, 4))
 def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
     """Advance the ODE to ``tout`` — one ``CVode(CV_NORMAL)`` equivalent.
-
-    ``f(t, y, params)`` must be jit-pure; ``params`` carries the mesh +
-    forcing slice pytree."""
-    dtype = state.y.dtype
+    ``f(t, y, params)`` must be jit-pure."""
+    dtype = state.t.dtype
     tout = jnp.asarray(tout, dtype=dtype)
 
     def rhs(t, y):
@@ -154,36 +169,42 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
         return (s.t < tout - 1e-9) & (s.nsteps < cfg.max_steps)
 
     def step_body(s: BDFState):
-        ewt = 1.0 / (cfg.rtol * jnp.abs(s.y) + cfg.atol)
+        ewt = tewt(s.y, cfg.rtol, cfg.atol)
         h = jnp.minimum(jnp.minimum(s.h, cfg.h_max), tout - s.t)
         h = jnp.maximum(h, cfg.h_min)
         tau = s.h_prev
         use2 = s.order >= 2
 
-        fy0 = rhs(s.t, s.y)  # slope at the current point (predictors)
+        fy0 = rhs(s.t, s.y)  # slope at the current point (for predictors)
 
         # predictors matched to each order's accuracy:
-        #  order 1: forward Euler  (error O(h^2), ~2x the BDF1 LTE)
+        #  order 1: forward Euler (error O(h^2), ~2x the BDF1 LTE)
         #  order 2: quadratic Hermite through (y_prev, y, fy0) (error O(h^3))
-        y_pred1 = s.y + h * fy0
-        a_coef = (s.y_prev - s.y + fy0 * tau) / (tau * tau)
-        y_pred2 = s.y + fy0 * h + a_coef * h * h
-        y_pred = jnp.where(use2, y_pred2, y_pred1)
+        y_pred1 = taxpy(h, fy0, s.y)
+        a_coef = tmap(
+            lambda lp, ly, lf: (lp - ly + lf * tau) / (tau * tau),
+            s.y_prev, s.y, fy0,
+        )
+        y_pred2 = tmap(
+            lambda ly, lf, la: ly + lf * h + la * h * h, s.y, fy0, a_coef
+        )
+        y_pred = twhere(use2, y_pred2, y_pred1)
 
         # variable-step BDF coefficients
         r = h / tau
         a1_2 = (1 + r) ** 2 / (1 + 2 * r)
         a2_2 = -(r**2) / (1 + 2 * r)
         b_2 = (1 + r) / (1 + 2 * r)
-        c0 = jnp.where(use2, a1_2 * s.y + a2_2 * s.y_prev, s.y)
+        c0_2 = tmap(lambda ly, lp: a1_2 * ly + a2_2 * lp, s.y, s.y_prev)
+        c0 = twhere(use2, c0_2, s.y)
         bh = jnp.where(use2, b_2, 1.0) * h
 
         t_new = s.t + h
         y_new, conv, nfe_n = _newton(rhs, t_new, y_pred, c0, bh, ewt, cfg)
 
         # predictor-corrector difference estimates the LTE at this order
-        diff = y_new - y_pred
-        err = _wrms(diff, ewt) * 0.5
+        diff = tmap(jnp.subtract, y_new, y_pred)
+        err = twrms(diff, ewt) * 0.5
         accept = conv & (err <= 1.0)
         at_hmin = h <= cfg.h_min * (1 + 1e-9)
         accept = accept | (at_hmin & conv)
@@ -204,8 +225,8 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
         zero = jnp.zeros((), dtype=s.nfails.dtype)
         return BDFState(
             t=jnp.where(accept, t_new, s.t),
-            y=jnp.where(accept, y_new, s.y),
-            y_prev=jnp.where(accept, s.y, s.y_prev),
+            y=twhere(accept, y_new, s.y),
+            y_prev=twhere(accept, s.y, s.y_prev),
             h=h_next,
             h_prev=jnp.where(accept, h, s.h_prev),
             order=new_order,

@@ -44,7 +44,10 @@ def initial_state(inp: ProjectInput, md: MeshData) -> np.ndarray:
         us = 0.3 * md.aq_depth
         gw = 0.4 * md.aq_depth
         riv = 0.2 * md.riv_depth
-        lake = 0.3 * (md.lake_bathy_y[:nl, 1] - md.lake_bathy_y[:nl, 0])
+        if nl and md.lake_bathy_y.shape[1] > 1:
+            lake = 0.3 * (md.lake_bathy_y[:nl, 1] - md.lake_bathy_y[:nl, 0])
+        else:
+            lake = np.zeros(nl)
     else:  # mode 1
         sf = np.zeros(ne)
         us = np.zeros(ne)

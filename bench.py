@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Benchmark: ccw watershed solver throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "cell_steps_per_s_ccw", "value": N, "unit": "cell-steps/s",
+   "vs_baseline": R}
+
+cell-steps/s = NumEle x NFE / wall, the throughput proxy the reference logs
+per screen interval (SURVEY §5.1: nFCall / prj.time.csv).  The reference
+publishes no numbers (BASELINE.json `published: {}`); `vs_baseline`
+therefore anchors on the measured single-core C++ reference RHS evaluation
+throughput (the dominant cost of the reference's CVODE run) when the oracle
+library is available, else on a recorded constant from the build machine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference C++ RHS throughput measured on this machine's CPU (single
+# core, ccw mesh): ~1147 cells / 0.20 ms per f-eval.  Kept as a fallback
+# when /tmp/oracle is absent.
+CPP_CELL_EVALS_PER_S_FALLBACK = 5.7e6
+
+N_DAYS = 5  # simulated days to time (after 1 warmup day)
+
+
+def measure_cpp_baseline() -> float:
+    try:
+        import numpy as np
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        cwd = os.getcwd()
+        from tools.oracle import Oracle
+
+        o = Oracle("ccw")
+        y = o.y0()
+        o.update_forcing(0.0)
+        o.et(0.0, 10.0)
+        o.f(0.0, y)
+        t0 = time.time()
+        n = 300
+        for _ in range(n):
+            o.f(0.0, y)
+        dt = (time.time() - t0) / n
+        os.chdir(cwd)
+        return o.ne / dt
+    except Exception:
+        return CPP_CELL_EVALS_PER_S_FALLBACK
+
+
+def main():
+    baseline = measure_cpp_baseline()
+
+    import jax
+
+    import shud_tpu  # noqa: F401
+    from shud_tpu.driver.fused import FusedSimulation
+
+    base = "/root/reference" if os.path.isdir("/root/reference/input/ccw") else "."
+    sim = FusedSimulation.create("ccw", base=base)
+    ne = sim.md.num_ele
+
+    # warmup (compile + first simulated day)
+    out = sim.advance_interval(1440.0)
+    jax.block_until_ready(out[0])
+
+    nfe0 = int(sim.bdf.nfe)
+    t0 = time.time()
+    for _ in range(N_DAYS):
+        out = sim.advance_interval(1440.0)
+    jax.block_until_ready(out[0])
+    wall = time.time() - t0
+    nfe = int(sim.bdf.nfe) - nfe0
+
+    cell_steps_per_s = ne * nfe / wall
+    print(json.dumps({
+        "metric": "cell_steps_per_s_ccw",
+        "value": round(cell_steps_per_s, 1),
+        "unit": "cell-steps/s",
+        "vs_baseline": round(cell_steps_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,8 @@ class MeshData:
     nabr: np.ndarray  # [Ne,3] 0-based, -1 none (incl. lake-coded)
     lakenabr: np.ndarray  # [Ne,3] 0-based lake index, -1 none
     nabr_to_me: np.ndarray  # [Ne,3] reciprocal edge slot (0..2), -1 none
+    edge_dz_surf: np.ndarray  # [Ne,3] z_surf_i - z_surf_nb (f64-precomputed)
+    edge_dz_bottom: np.ndarray  # [Ne,3] z_bottom_i - z_bottom_nb
     nx: np.ndarray
     ny: np.ndarray
     nz: np.ndarray
@@ -302,6 +304,14 @@ def build_mesh(inp: ProjectInput) -> MeshData:
     macpore_level = aq_depth - mac_d
     fix_pressure = 101.325 * ((293.0 - 0.0065 * z_surf) / 293.0) ** 5.26
 
+    # per-edge elevation differences for the reduced-precision path:
+    # computing dh as (y_i - y_j) + dz with dz precomputed in f64 keeps
+    # mm-scale head differences accurate in f32 even with km-scale z
+    nb0 = np.where(nabr1 > 0, nabr1 - 1, 0)
+    has0 = nabr1 > 0
+    edge_dz_surf = np.where(has0, z_surf[:, None] - z_surf[nb0], 0.0)
+    edge_dz_bottom = np.where(has0, z_bottom[:, None] - z_bottom[nb0], 0.0)
+
     # --- applyNabor (Element.cpp:238-270) ---
     nabr_to_me = np.full((ne, 3), -1, dtype=np.int64)
     for i in range(ne):
@@ -412,7 +422,8 @@ def build_mesh(inp: ProjectInput) -> MeshData:
         area=area, x=cx, y=cy, z_surf=z_surf, z_bottom=z_bottom, edge=edge,
         dist2edge=dist2edge, dist2nabor=dist2nabor, avg_rough=avg_rough,
         nabr=np.where(nabr1 > 0, nabr1 - 1, -1), lakenabr=lakenabr,
-        nabr_to_me=nabr_to_me, nx=nx_, ny=ny_, nz=nz_,
+        nabr_to_me=nabr_to_me, edge_dz_surf=edge_dz_surf,
+        edge_dz_bottom=edge_dz_bottom, nx=nx_, ny=ny_, nz=nz_,
         slope_angle=slope_angle, aspect=aspect,
         aq_depth=aq_depth, wetland_level=wetland_level,
         rootreach_level=rootreach_level, macpore_level=macpore_level,

@@ -180,6 +180,11 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
     nb = jnp.where(has_nabr, nabr, 0)
     lk = jnp.where(has_lake, lakenb, 0)
 
+    # reduced-precision mode (f32 on TPU): head differences are computed as
+    # (y_i - y_j) + dz with dz precomputed in f64, so mm-scale gradients
+    # survive km-scale elevations (local-datum trick)
+    low_prec = sf.dtype == jnp.float32
+
     isf = jnp.maximum(sf, 0.0)[:, None]  # [Ne,1]
     nsf = jnp.maximum(sf[nb], 0.0)  # [Ne,3]
     z = m.z_surf[:, None]
@@ -194,7 +199,10 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
     )
 
     # ---- surface: interior neighbour branch ----
-    dh = (isf + z) - (nsf + zn)
+    if low_prec:
+        dh = (isf - nsf) + m.edge_dz_surf
+    else:
+        dh = (isf + z) - (nsf + zn)
     ymean = ph.avg_y_sf(z, isf, zn, nsf, m.depression[:, None])
     ymean = jnp.minimum(ymean, MAXYSURF)
     dist = jnp.where(has_nabr, m.dist2nabor, 1.0)
@@ -242,7 +250,10 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
     else:
         q_sub_lake = jnp.zeros_like(B)
 
-    dh_s = (gw_col + zb) - (gw_nb + zb_nb)
+    if low_prec:
+        dh_s = (gw_col - gw_nb) + m.edge_dz_bottom
+    else:
+        dh_s = (gw_col + zb) - (gw_nb + zb_nb)
     ymean_s = ph.avg_y_gw(gw_col, gw_nb)
     grad_s = dh_s / dist
     kmean = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
@@ -338,18 +349,35 @@ def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
     # --- segment stencil (fun_Seg_surface / fun_Seg_sub) ---
     se, sr = m.seg_ele, m.seg_riv
     seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
-    zs_e = m.z_surf[se]
-    q_seg_surf = ph.weir_flow_jtoi(
-        zs_e, seg_isf,
-        zs_e - m.riv_depth[sr], riv_stage[sr],
-        zs_e, m.seg_cwr, m.seg_length, m.depression[se],
-    )
-    q_seg_sub = ph.flux_r2e_gw(
-        riv_stage[sr], zs_e - m.riv_depth[sr],
-        gw[se], m.z_bottom[se],
-        cu.eff_kh[se], m.riv_ksat_h[sr],
-        m.seg_length, m.riv_bed_thick[sr],
-    ) * fs.fu_sub[se]
+    low_prec = y.dtype == jnp.float32
+    if low_prec:
+        # local-datum form: subtract z_surf (weir) / z_bottom (bed Darcy) —
+        # algebraically identical, f32-safe against km-scale elevations
+        zero_e = jnp.zeros_like(seg_isf)
+        q_seg_surf = ph.weir_flow_jtoi(
+            zero_e, seg_isf,
+            -m.riv_depth[sr], riv_stage[sr],
+            zero_e, m.seg_cwr, m.seg_length, m.depression[se],
+        )
+        q_seg_sub = ph.flux_r2e_gw(
+            riv_stage[sr], m.aq_depth[se] - m.riv_depth[sr],
+            gw[se], zero_e,
+            cu.eff_kh[se], m.riv_ksat_h[sr],
+            m.seg_length, m.riv_bed_thick[sr],
+        ) * fs.fu_sub[se]
+    else:
+        zs_e = m.z_surf[se]
+        q_seg_surf = ph.weir_flow_jtoi(
+            zs_e, seg_isf,
+            zs_e - m.riv_depth[sr], riv_stage[sr],
+            zs_e, m.seg_cwr, m.seg_length, m.depression[se],
+        )
+        q_seg_sub = ph.flux_r2e_gw(
+            riv_stage[sr], zs_e - m.riv_depth[sr],
+            gw[se], m.z_bottom[se],
+            cu.eff_kh[se], m.riv_ksat_h[sr],
+            m.seg_length, m.riv_bed_thick[sr],
+        ) * fs.fu_sub[se]
 
     # --- river chain stencil (Flux_RiverDown, MD_RiverFlux.cpp:5-63) ---
     down = m.riv_down

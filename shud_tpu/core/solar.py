@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,11 +104,14 @@ def interval_samples(
     day_idx = np.clip((tk // 1440.0).astype(int), 0, max_day - 1)
     doy = doy_tab[day_idx]
 
-    cosz, az, _ = solar_position(
-        jnp.asarray(tk), jnp.asarray(doy), lat_deg, lon_deg, 0.0
-    )
-    cosz = np.asarray(cosz)
-    az = np.asarray(az)
+    # host-side precompute MUST run on CPU: eager per-op dispatch to a
+    # (possibly remote) TPU would turn this setup step into minutes
+    with jax.default_device(jax.devices("cpu")[0]):
+        cosz, az, _ = solar_position(
+            jnp.asarray(tk), jnp.asarray(doy), lat_deg, lon_deg, 0.0
+        )
+        cosz = np.asarray(cosz)
+        az = np.asarray(az)
 
     cosz_cl = np.clip(cosz, -1.0, 1.0)
     sinz = np.sqrt(np.maximum(0.0, 1.0 - cosz_cl**2))

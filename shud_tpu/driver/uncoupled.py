@@ -1,0 +1,240 @@
+"""Operator-split ("uncoupled") mode — the reference's ``-g`` driver.
+
+Five sub-systems (surface, unsaturated, groundwater, river, lake) are
+advanced sequentially over each window, each treating the others as frozen
+(Gauss–Seidel splitting; reference ``SHUD_uncouple`` at shud.cpp:171-357 and
+the sub-RHS set in ``MD_f_uncouple.cpp``).  Serves as an independent second
+solver path over identical physics: implicit-vs-split agreement at splitting
+error is a built-in regression oracle (SURVEY §3.3).
+
+Faithful structural notes (kept from the reference):
+* the surface sub-DY has NO surface-evaporation sink (f_applyDYi flag 1);
+* recharge/exfiltration are FROZEN during the groundwater solve (f_loop3
+  recomputes only lateral fluxes);
+* river dV is converted by the top area, not the bank-slope quadratic
+  (f_applyDYi flag 4);
+* the lake sub-system derivative is not assembled (zero here).
+One pure-function deviation: the reference evaluates the ET partition with
+whatever element state the previous RHS call left behind; here it is
+evaluated once per window at the frozen stage states (within splitting
+error).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.ops import segment_sum
+
+from shud_tpu.config import EPSILON, ZERO
+from shud_tpu.core import physics as ph
+from shud_tpu.core.rhs import (
+    edge_fluxes,
+    et_flux,
+    flux_infiltration,
+    flux_recharge,
+    update_element,
+)
+from shud_tpu.core.state import ForcingSlice
+from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
+
+
+def _seg_surface(m, fs, sf, q_infil, q_exfil, riv_stage):
+    se, sr = m.seg_ele, m.seg_riv
+    seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
+    zs_e = m.z_surf[se]
+    return ph.weir_flow_jtoi(
+        zs_e, seg_isf, zs_e - m.riv_depth[sr], riv_stage[sr],
+        zs_e, m.seg_cwr, m.seg_length, m.depression[se],
+    )
+
+
+def _seg_sub(m, fs, gw, effkh, riv_stage):
+    se, sr = m.seg_ele, m.seg_riv
+    zs_e = m.z_surf[se]
+    return ph.flux_r2e_gw(
+        riv_stage[sr], zs_e - m.riv_depth[sr], gw[se], m.z_bottom[se],
+        effkh[se], m.riv_ksat_h[sr], m.seg_length, m.riv_bed_thick[sr],
+    ) * fs.fu_sub[se]
+
+
+def rhs_surf(m, fs: ForcingSlice, t, sf, us0, gw0, riv0,
+             close_boundary=True):
+    """d(sf)/dt with us/gw/riv frozen (f_surf: f_loop1 + f_applyDYi(1))."""
+    ne, nr = m.area.shape[0], m.riv_length.shape[0]
+    sf = jnp.maximum(sf, 0.0)  # f_updatei clamps (MD_update.cpp:49-53)
+    cu = update_element(m, sf, us0, gw0)
+    qi, qex = flux_infiltration(m, cu, sf, us0, gw0, fs.net_prcp)
+    q_infil = qi * fs.fu_surf
+    q_exfil = qex * fs.fu_surf
+    lake_stg = jnp.zeros((0,), sf.dtype)
+    q_esurf, _, _, _ = edge_fluxes(m, cu, sf, gw0, lake_stg, close_boundary)
+    q_seg = _seg_surface(m, fs, sf, q_infil, q_exfil, riv0)
+    q_e2r = segment_sum(-q_seg, m.seg_ele, num_segments=ne)
+    q_tot = q_e2r + q_esurf.sum(axis=1)
+    dsf = fs.net_prcp - q_infil + q_exfil - q_tot / m.area
+    dsf = dsf + jnp.where(m.i_ss > 0, fs.ele_qss / m.area, 0.0)
+    return dsf
+
+
+def rhs_unsat(m, fs: ForcingSlice, t, us, sf0, gw0, close_boundary=True):
+    """d(us)/dt (f_unsat: f_loop2 + f_applyDYi(2))."""
+    us = jnp.maximum(us, 0.0)
+    cu = update_element(m, sf0, us, gw0)
+    es, eu, eg, tu, tg, _, _ = et_flux(m, fs, sf0, us, gw0, cu.satn)
+    qi, qex = flux_infiltration(m, cu, sf0, us, gw0, fs.net_prcp)
+    q_infil = qi * fs.fu_surf
+    q_rech = flux_recharge(m, cu, us, gw0) * fs.fu_sub
+    evapo = es + eu + eg
+    trans = tu + tg
+    dus = q_infil - q_rech - evapo
+    dus = dus - jnp.where(gw0 > m.rootreach_level, 0.0, trans)
+    return dus / m.sy
+
+
+def rhs_gw(m, fs: ForcingSlice, t, gw, sf0, us0, riv0, q_rech0, q_exfil0,
+           evapo0, trans0, close_boundary=True):
+    """d(gw)/dt with frozen recharge/exfiltration (f_gw: f_loop3 +
+    f_applyDY_gw)."""
+    ne = m.area.shape[0]
+    gw_c = jnp.maximum(gw, 0.0)
+    gw_bc = jnp.where(m.i_bc > 0, fs.ele_ybc, gw_c)
+    cu = update_element(m, sf0, us0, gw_bc)
+    lake_stg = jnp.zeros((0,), gw.dtype)
+    _, q_esub, _, _ = edge_fluxes(m, cu, sf0, gw_bc, lake_stg, close_boundary)
+    q_esub = q_esub * fs.fu_sub[:, None]
+    q_seg = _seg_sub(m, fs, gw_bc, cu.eff_kh, riv0)
+    q_e2r = segment_sum(-q_seg, m.seg_ele, num_segments=ne)
+    q_tot = q_e2r + q_esub.sum(axis=1)
+    dgw = q_rech0 - q_exfil0 - q_tot / m.area
+    no_pond = sf0 < EPSILON
+    dgw = dgw - jnp.where(no_pond & (gw_bc >= m.wetland_level), evapo0, 0.0)
+    dgw = dgw - jnp.where(gw_bc > m.rootreach_level, trans0, 0.0)
+    dgw = jnp.where(m.i_bc > 0, 0.0, dgw)
+    dgw = dgw + jnp.where(m.i_bc < 0, fs.ele_qbc / m.area, 0.0)
+    dgw = dgw + jnp.where(m.i_ss < 0, fs.ele_qss / m.area, 0.0)
+    return dgw / m.sy
+
+
+def rhs_river(m, fs: ForcingSlice, t, riv, q_riv_surf0, q_riv_sub0):
+    """d(stage)/dt with frozen exchange fluxes (f_river: f_loop4 +
+    f_applyDYi(4)); dV -> dStage via the top area."""
+    nr = m.riv_length.shape[0]
+    riv_c = jnp.maximum(riv, 0.0)
+    riv_stage = jnp.where(m.riv_bc > 0, fs.riv_ybc, riv_c)
+    r_csa = jnp.maximum(
+        riv_stage * (m.riv_bottom_width + riv_stage * m.riv_bank_slope), 0.0
+    )
+    r_per = jnp.maximum(
+        2.0 * jnp.abs(riv_stage) * jnp.sqrt(1.0 + m.riv_bank_slope**2)
+        + m.riv_bottom_width, 0.0,
+    )
+    r_eqw = jnp.maximum(
+        0.5 * (riv_stage * m.riv_bank_slope * 2.0 + 2.0 * m.riv_bottom_width),
+        0.0,
+    )
+    top_area = jnp.maximum(r_eqw * m.riv_length, 1e-12)
+
+    down = m.riv_down
+    has_down = down >= 0
+    dn = jnp.where(has_down, down, 0)
+    s_mean = 0.5 * (m.riv_bed_slope + m.riv_bed_slope[dn])
+    s_down = ((riv_stage - m.riv_depth)
+              - (riv_stage[dn] - m.riv_depth[dn])) / m.riv_dist2down + s_mean
+    r_hyd = jnp.where(r_per <= ZERO, 0.0,
+                      r_csa / jnp.where(r_per <= ZERO, 1.0, r_per))
+    q_down_int = ph.manning_equation(r_csa, m.riv_avg_rough, r_hyd, s_down)
+    s_out = m.riv_bed_slope + riv_stage * 2.0 / m.riv_length
+    q_out_zdg = ph.manning_equation(r_csa, m.riv_avg_rough, r_hyd, s_out)
+    from shud_tpu.config import GRAV
+
+    q_out_crit = r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 1e-30)) * 60.0
+    q_riv_down = jnp.where(
+        has_down, q_down_int,
+        jnp.where(m.riv_outlet_code == -4, q_out_crit, q_out_zdg),
+    )
+    q_riv_up = segment_sum(
+        jnp.where(has_down, -q_riv_down, 0.0), dn, num_segments=nr
+    )
+    driv = (-q_riv_up - q_riv_surf0 - q_riv_sub0 - q_riv_down
+            + fs.riv_qbc) / top_area
+    return jnp.where(m.riv_bc > 0, 0.0, driv)
+
+
+@dataclasses.dataclass
+class UncoupledStates:
+    surf: object
+    unsat: object
+    gw: object
+    riv: object
+
+
+def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
+                             t: float, tout: float, cfg: SolverConfig,
+                             close_boundary=True):
+    """One Gauss-Seidel sweep: surf -> unsat -> gw -> river, each advanced
+    over [t, tout] by its own adaptive implicit solver instance."""
+    ne, nr = dm.area.shape[0], dm.riv_length.shape[0]
+
+    sf0 = jnp.maximum(states.surf.y, 0.0)
+    us0 = jnp.maximum(states.unsat.y, 0.0)
+    gw0 = jnp.maximum(states.gw.y, 0.0)
+    riv0 = jnp.maximum(states.riv.y, 0.0)
+
+    # 1) surface
+    def f1(tt, yy, p):
+        return rhs_surf(dm, fs, tt, yy, us0, gw0, riv0, close_boundary)
+
+    st1 = solve_to(f1, states.surf, tout, None, cfg)
+    sf1 = jnp.maximum(st1.y, 0.0)
+
+    # 2) unsaturated
+    def f2(tt, yy, p):
+        return rhs_unsat(dm, fs, tt, yy, sf1, gw0, close_boundary)
+
+    st2 = solve_to(f2, states.unsat, tout, None, cfg)
+    us1 = jnp.maximum(st2.y, 0.0)
+
+    # 3) groundwater: freeze recharge/exfil/ET at the staged states
+    cu = update_element(dm, sf1, us1, gw0)
+    es, eu, eg, tu, tg, _, _ = et_flux(dm, fs, sf1, us1, gw0, cu.satn)
+    qi, qex = flux_infiltration(dm, cu, sf1, us1, gw0, fs.net_prcp)
+    q_rech0 = flux_recharge(dm, cu, us1, gw0) * fs.fu_sub
+    q_exfil0 = qex * fs.fu_surf
+
+    def f3(tt, yy, p):
+        return rhs_gw(dm, fs, tt, yy, sf1, us1, riv0, q_rech0, q_exfil0,
+                      es + eu + eg, tu + tg, close_boundary)
+
+    st3 = solve_to(f3, states.gw, tout, None, cfg)
+    gw1 = jnp.maximum(st3.y, 0.0)
+
+    # 4) river: freeze exchange fluxes at staged states
+    cu1 = update_element(dm, sf1, us1, gw1)
+    qi1, qex1 = flux_infiltration(dm, cu1, sf1, us1, gw1, fs.net_prcp)
+    q_seg_s = _seg_surface(dm, fs, sf1, qi1 * fs.fu_surf, qex1 * fs.fu_surf,
+                           riv0)
+    q_seg_b = _seg_sub(dm, fs, gw1, cu1.eff_kh, riv0)
+    q_riv_surf0 = segment_sum(q_seg_s, dm.seg_riv, num_segments=nr)
+    q_riv_sub0 = segment_sum(q_seg_b, dm.seg_riv, num_segments=nr)
+
+    def f4(tt, yy, p):
+        return rhs_river(dm, fs, tt, yy, q_riv_surf0, q_riv_sub0)
+
+    st4 = solve_to(f4, states.riv, tout, None, cfg)
+
+    return UncoupledStates(surf=st1, unsat=st2, gw=st3, riv=st4)
+
+
+def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
+                   cfg: SolverConfig) -> UncoupledStates:
+    y0 = jnp.asarray(y0)
+    return UncoupledStates(
+        surf=bdf_init(t0, y0[:ne], cfg),
+        unsat=bdf_init(t0, y0[ne : 2 * ne], cfg),
+        gw=bdf_init(t0, y0[2 * ne : 3 * ne], cfg),
+        riv=bdf_init(t0, y0[3 * ne : 3 * ne + nr], cfg),
+    )

@@ -76,45 +76,71 @@ class BDFState(NamedTuple):
 def bdf_init(t0, y0, cfg: SolverConfig) -> BDFState:
     leaves = jax.tree_util.tree_leaves(y0)
     dtype = leaves[0].dtype
-    z = jnp.zeros((), dtype=jnp.int64)
+    z = jnp.zeros((), dtype=jnp.int32)
     return BDFState(
         t=jnp.asarray(t0, dtype=dtype),
         y=y0,
         y_prev=y0,
         h=jnp.asarray(cfg.h_init, dtype=dtype),
         h_prev=jnp.asarray(cfg.h_init, dtype=dtype),
-        order=jnp.ones((), dtype=jnp.int64),
+        order=jnp.ones((), dtype=jnp.int32),
         nfe=z, nsteps=z, nfails=z, nnifails=z,
     )
 
 
 def _gmres(matvec, b, m):
-    """Single-cycle matrix-free GMRES(m) on pytrees, modified Gram-Schmidt,
-    x0 = 0.  m is small and static (SPGMR default 5), so the Arnoldi loop
-    unrolls at trace time into fused vector ops; the dot products are the
-    only global reductions."""
+    """Single-cycle matrix-free GMRES(m) on pytrees, modified Gram-Schmidt
+    with incremental Givens rotations, x0 = 0.  m is small and static (the
+    SPGMR default is 5), so everything unrolls at trace time into fused
+    vector ops plus a handful of scalars; the dot products are the only
+    global reductions.  (No LAPACK-style ops — keeps the TPU lowering
+    simple.)"""
     leaves = jax.tree_util.tree_leaves(b)
     dtype = leaves[0].dtype
     beta = jnp.sqrt(tdot(b, b))
     safe = jnp.where(beta > 0, beta, 1.0)
     vs = [tmap(lambda l: l / safe, b)]
-    h = jnp.zeros((m + 1, m), dtype=dtype)
+    # upper-triangular R columns (lists of scalars), Givens (c, s), rhs g
+    r_cols = []
+    givens = []
+    g = [beta] + [jnp.zeros((), dtype)] * m
     for j in range(m):
         w = matvec(vs[j])
+        hcol = []
         for i in range(j + 1):
             hij = tdot(vs[i], w)
-            h = h.at[i, j].set(hij)
+            hcol.append(hij)
             w = taxpy(-hij, vs[i], w)
         wnorm = jnp.sqrt(tdot(w, w))
-        h = h.at[j + 1, j].set(wnorm)
         wsafe = jnp.where(wnorm > 0, wnorm, 1.0)
         vs.append(tmap(lambda l: l / wsafe, w))
-    e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-    yls, *_ = jnp.linalg.lstsq(h, e1, rcond=None)
-    x = vs[0]
-    x = tmap(lambda l: l * yls[0], x)
+        # apply previous rotations to this column (i < j, acts on i, i+1)
+        for i, (c, s) in enumerate(givens):
+            tmp = c * hcol[i] + s * hcol[i + 1]
+            hcol[i + 1] = -s * hcol[i] + c * hcol[i + 1]
+            hcol[i] = tmp
+        # new rotation eliminating wnorm
+        denom = jnp.sqrt(hcol[j] ** 2 + wnorm**2)
+        dsafe = jnp.where(denom > 0, denom, 1.0)
+        c = jnp.where(denom > 0, hcol[j] / dsafe, 1.0)
+        s = jnp.where(denom > 0, wnorm / dsafe, 0.0)
+        givens.append((c, s))
+        hcol[j] = c * hcol[j] + s * wnorm
+        g[j + 1] = -s * g[j]
+        g[j] = c * g[j]
+        r_cols.append(hcol)
+    # back-substitution R y = g[:m]
+    ys = [jnp.zeros((), dtype)] * m
+    for j in range(m - 1, -1, -1):
+        acc = g[j]
+        for k in range(j + 1, m):
+            acc = acc - r_cols[k][j] * ys[k]
+        rjj = r_cols[j][j]
+        rsafe = jnp.where(jnp.abs(rjj) > 0, rjj, 1.0)
+        ys[j] = jnp.where(jnp.abs(rjj) > 0, acc / rsafe, 0.0)
+    x = tmap(lambda l: l * ys[0], vs[0])
     for j in range(1, m):
-        x = taxpy(yls[j], vs[j], x)
+        x = taxpy(ys[j], vs[j], x)
     return twhere(beta > 0, x, tmap(jnp.zeros_like, b))
 
 
@@ -147,8 +173,8 @@ def _newton(f, t_new, y_guess, c0, bh, ewt, cfg: SolverConfig):
     carry = (
         y_guess,
         jnp.asarray(jnp.inf, dtype=dtype),
-        jnp.zeros((), dtype=jnp.int64),
-        jnp.zeros((), dtype=jnp.int64),
+        jnp.zeros((), dtype=jnp.int32),
+        jnp.zeros((), dtype=jnp.int32),
     )
     carry = body(carry)
     y, dnorm, it, nfe = lax.while_loop(cond, body, carry)

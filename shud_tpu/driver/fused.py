@@ -64,7 +64,7 @@ ACCUM_RIV_KEYS = ["q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf",
 
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
                                    "close_boundary", "terrain_radiation",
-                                   "swnet_mode"))
+                                   "swnet_mode", "cryosphere"))
 def run_interval(
     dm: MeshData,
     tables: ChunkTables,
@@ -83,15 +83,30 @@ def run_interval(
     close_boundary: bool = True,
     terrain_radiation: bool = True,
     swnet_mode: bool = False,
+    cryosphere: bool = False,
+    cryo_state=None,
+    cryo_bounds=(-1.0, -5.0, -3.0, -10.0),
+    bc_tables=None,  # optional dict: per-window BC value arrays [W, ...]
 ):
     ne, nr = dm.num_ele, dm.num_riv
     dtype = bdf_state.t.dtype
     zeros_e = jnp.zeros(ne, dtype=dtype)
     zeros_r = jnp.zeros(nr, dtype=dtype)
+    if bc_tables is None:
+        bc_tables = {
+            "ele_ybc": jnp.zeros((n_windows, 1), dtype=dtype),
+            "ele_qbc": jnp.zeros((n_windows, 1), dtype=dtype),
+            "ele_qss": jnp.zeros((n_windows, 1), dtype=dtype),
+            "riv_ybc": jnp.zeros((n_windows, 1), dtype=dtype),
+            "riv_qbc": jnp.zeros((n_windows, 1), dtype=dtype),
+        }
+        bc_maps = None
+    else:
+        bc_tables, bc_maps = bc_tables
 
     def window(carry, xs):
-        st, bk, acc_e, acc_r = carry
-        ki, li, mi, w = xs
+        st, bk, cryo, acc_e, acc_r = carry
+        ki, li, mi, w, bc_row = xs
         t = t0 + w * win_minutes
         tout = t + win_minutes
 
@@ -111,12 +126,39 @@ def run_interval(
         )
         out = et_bucket_step(dm, cf, bk, win_minutes, cal.c_ismax)
         ones = jnp.ones_like(dm.nx)
+        if cryosphere:
+            from shud_tpu.core.cryo import cryo_step
+
+            cryo, fu_surf, fu_sub = cryo_step(
+                cryo, cf.temp, t, *cryo_bounds
+            )
+        else:
+            fu_surf = fu_sub = ones
+        if bc_maps is None:
+            ele_ybc, ele_qbc, ele_qss = zeros_e, zeros_e, zeros_e
+            riv_ybc, riv_qbc = zeros_r, zeros_r
+        else:
+            ele_ybc = jnp.where(
+                dm.i_bc > 0,
+                bc_tables["ele_ybc"][bc_row][bc_maps["ele_y"]], 0.0)
+            ele_qbc = jnp.where(
+                dm.i_bc < 0,
+                bc_tables["ele_qbc"][bc_row][bc_maps["ele_q"]], 0.0)
+            ele_qss = jnp.where(
+                dm.i_ss != 0,
+                bc_tables["ele_qss"][bc_row][bc_maps["ele_ss"]], 0.0)
+            riv_ybc = jnp.where(
+                dm.riv_bc > 0,
+                bc_tables["riv_ybc"][bc_row][bc_maps["riv_y"]], 0.0)
+            riv_qbc = jnp.where(
+                dm.riv_bc < 0,
+                bc_tables["riv_qbc"][bc_row][bc_maps["riv_q"]], 0.0)
         fs = ForcingSlice(
             net_prcp=out.net_prcp, prcp=cf.prcp, pot_evap=cf.pot_evap,
             pot_tran=cf.pot_tran, e_ic=out.e_ic, lai=cf.lai,
-            fu_surf=ones, fu_sub=ones,
-            ele_ybc=zeros_e, ele_qbc=zeros_e, ele_qss=zeros_e,
-            riv_ybc=zeros_r, riv_qbc=zeros_r,
+            fu_surf=fu_surf, fu_sub=fu_sub,
+            ele_ybc=ele_ybc, ele_qbc=ele_qbc, ele_qss=ele_qss,
+            riv_ybc=riv_ybc, riv_qbc=riv_qbc,
         )
 
         def f(tt, yy, params):
@@ -151,19 +193,28 @@ def run_interval(
         }
         acc_e = {k: acc_e[k] + vals_e[k] for k in ACCUM_KEYS}
         acc_r = {k: acc_r[k] + vals_r[k] for k in ACCUM_RIV_KEYS}
-        return (st, out.state, acc_e, acc_r), (riv_stage,
-                                               diag["q_riv_down"])
+        return (st, out.state, cryo, acc_e, acc_r), (riv_stage,
+                                                     diag["q_riv_down"])
 
     acc_e0 = {k: zeros_e for k in ACCUM_KEYS}
     acc_r0 = {k: zeros_r for k in ACCUM_RIV_KEYS}
     ws = jnp.arange(n_windows, dtype=dtype)
-    (st, bk, acc_e, acc_r), (stages, qdowns) = lax.scan(
-        window, (bdf_state, buckets, acc_e0, acc_r0),
-        (forc_idx, lai_idx, mf_idx, ws),
+    if cryo_state is None:
+        from shud_tpu.core.cryo import cryo_init
+
+        cryo_state = cryo_init(1, 1, 1, dtype)
+    bc_rows = bc_tables.get("rows") if isinstance(bc_tables, dict) else None
+    if bc_maps is None:
+        bc_rows = jnp.zeros(n_windows, dtype=jnp.int32)
+    else:
+        bc_rows = bc_tables["rows"]
+    (st, bk, cryo_state, acc_e, acc_r), (stages, qdowns) = lax.scan(
+        window, (bdf_state, buckets, cryo_state, acc_e0, acc_r0),
+        (forc_idx, lai_idx, mf_idx, ws, bc_rows),
     )
     mean_e = {k: v / n_windows for k, v in acc_e.items()}
     mean_r = {k: v / n_windows for k, v in acc_r.items()}
-    return st, bk, mean_e, mean_r, stages, qdowns
+    return st, bk, cryo_state, mean_e, mean_r, stages, qdowns
 
 
 @dataclasses.dataclass
@@ -177,6 +228,8 @@ class FusedSimulation:
     bdf: BDFState
     buckets: BucketState
     t: float
+    cryo: object = None
+    bc_dev: object = None  # (tables dict incl. per-window rows, col maps)
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
@@ -206,12 +259,19 @@ class FusedSimulation:
         fr.cal = cal
         y0 = jnp.asarray(initial_state(inp, md), dtype=fd)
         ic0, snow0 = initial_buckets(inp, md)
+        cryo = None
+        if cs.cryosphere:
+            from shud_tpu.core.cryo import cryo_init
+
+            gc = inp.calib
+            cryo = cryo_init(md.num_ele, int(gc.fzn_surfday),
+                             int(gc.fzn_subday), fd)
         return cls(
             inp=inp, md=md, dm=dm, fr=fr, tables=tables, cfg=cfg,
             bdf=bdf_init(cs.start_time, y0, cfg),
             buckets=BucketState(ic_stg=jnp.asarray(ic0, dtype=fd),
                                 snow=jnp.asarray(snow0, dtype=fd)),
-            t=cs.start_time,
+            t=cs.start_time, cryo=cryo,
         )
 
     def window_indices(self, t0: float, n_windows: int, win: float):
@@ -230,7 +290,9 @@ class FusedSimulation:
         win = cs.solver_step
         n_windows = int(round(interval_minutes / win))
         fi, li, mi = self.window_indices(self.t, n_windows, win)
-        st, bk, mean_e, mean_r, stages, qdowns = run_interval(
+        bc_arg = self._bc_tables(self.t, n_windows, win)
+        gc = self.inp.calib
+        st, bk, cryo, mean_e, mean_r, stages, qdowns = run_interval(
             self.dm, self.tables, self.bdf, self.buckets, self.fr.cal,
             self.t, fi, li, mi,
             self.fr.rad_factor_cap, self.fr.rad_cosz_min,
@@ -238,8 +300,51 @@ class FusedSimulation:
             close_boundary=bool(cs.close_boundary),
             terrain_radiation=self.fr.terrain_radiation,
             swnet_mode=self.fr.swnet_mode,
+            cryosphere=bool(cs.cryosphere),
+            cryo_state=self.cryo,
+            cryo_bounds=(gc.fzn_surfmax, gc.fzn_surfmin,
+                         gc.fzn_submax, gc.fzn_submin),
+            bc_tables=bc_arg,
         )
         self.bdf = st
         self.buckets = bk
+        if bool(cs.cryosphere):
+            self.cryo = cryo
         self.t += interval_minutes
         return mean_e, mean_r, stages, qdowns
+
+    def _bc_tables(self, t0, n_windows, win):
+        """Per-window BC value tables (None when the project has no BC/SS
+        time series)."""
+        if not self.fr.bc:
+            return None
+        md = self.md
+        dtype = self.bdf.t.dtype
+        ts = t0 + np.arange(n_windows) * win
+
+        def rows_of(key, ncol_needed):
+            if key in self.fr.bc:
+                bt, bv = self.fr.bc[key]
+                idx = np.clip(
+                    np.searchsorted(bt, ts + 1e-9, side="right") - 1, 0, None
+                )
+                return jnp.asarray(bv[idx], dtype=dtype)
+            return jnp.zeros((n_windows, max(ncol_needed, 1)), dtype=dtype)
+
+        tables = {
+            "ele_ybc": rows_of("ele_y", int(max(md.i_bc.max(), 0))),
+            "ele_qbc": rows_of("ele_q", int(max(-md.i_bc.min(), 0))),
+            "ele_qss": rows_of("ele_ss", int(np.abs(md.i_ss).max())),
+            "riv_ybc": rows_of("riv_y", int(max(md.riv_bc.max(), 0))),
+            "riv_qbc": rows_of("riv_q", int(max(-md.riv_bc.min(), 0))),
+            "rows": jnp.arange(n_windows, dtype=jnp.int32),
+        }
+        maps = {
+            "ele_y": jnp.asarray(np.maximum(md.i_bc - 1, 0), jnp.int32),
+            "ele_q": jnp.asarray(np.maximum(-md.i_bc - 1, 0), jnp.int32),
+            "ele_ss": jnp.asarray(np.maximum(np.abs(md.i_ss) - 1, 0),
+                                  jnp.int32),
+            "riv_y": jnp.asarray(np.maximum(md.riv_bc - 1, 0), jnp.int32),
+            "riv_q": jnp.asarray(np.maximum(-md.riv_bc - 1, 0), jnp.int32),
+        }
+        return (tables, maps)

@@ -36,6 +36,10 @@ from shud_tpu.driver.init import initial_buckets, initial_state
 from shud_tpu.io.project import ProjectInput, load_project
 from shud_tpu.solver.bdf import BDFState, SolverConfig, bdf_init, solve_to
 
+# inside run_interval's jit we call the UNJITTED solver body: nesting the
+# jitted wrapper inside an outer jit degrades badly on the axon TPU backend
+_solve_to_inner = solve_to.__wrapped__
+
 
 class ChunkTables(NamedTuple):
     """Device-resident forcing tables for the whole run."""
@@ -165,7 +169,7 @@ def run_interval(
             mesh, slc = params
             return rhs(mesh, slc, tt, yy, close_boundary=close_boundary)
 
-        st = solve_to(f, st, tout, (dm, fs), cfg)
+        st = _solve_to_inner(f, st, tout, (dm, fs), cfg)
 
         # diagnostics at the accepted state (one extra RHS eval)
         _, diag = rhs_full(dm, fs, tout, st.y, close_boundary=close_boundary)

@@ -284,18 +284,12 @@ def build_mesh(inp: ProjectInput) -> MeshData:
     riv_id_of_ele[seg_ele] = seg_riv + 1
 
     # --- rmSinks (sequential in-place semantics, Model_Data.cpp:238-266) ---
-    z_surf = z_surf.copy()
-    z_bottom = z_bottom.copy()
-    nabr0 = nabr1 - 1  # 0-based; <0 none
-    for i in range(ne):
-        zmin_nb = np.inf
-        for j in range(3):
-            inabr = nabr0[i, j]
-            if inabr >= 0:
-                zmin_nb = min(zmin_nb, z_surf[inabr])
-        if zmin_nb > z_surf[i] and np.isfinite(zmin_nb) and riv_id_of_ele[i] <= 0:
-            z_surf[i] = zmin_nb
-            z_bottom[i] = zmin_nb - aq_depth[i]
+    from shud_tpu import native
+
+    z_surf = np.ascontiguousarray(z_surf)
+    z_bottom = np.ascontiguousarray(z_bottom)
+    nabr0 = np.where(nabr1 > 0, nabr1 - 1, -1)  # 0-based; -1 none
+    native.rm_sinks(nabr0, riv_id_of_ele, aq_depth, z_surf, z_bottom)
 
     # final InitElement-derived levels (post-rmSinks)
     mac_d = np.minimum(mac_d, aq_depth)
@@ -313,14 +307,7 @@ def build_mesh(inp: ProjectInput) -> MeshData:
     edge_dz_bottom = np.where(has0, z_bottom[:, None] - z_bottom[nb0], 0.0)
 
     # --- applyNabor (Element.cpp:238-270) ---
-    nabr_to_me = np.full((ne, 3), -1, dtype=np.int64)
-    for i in range(ne):
-        for j in range(3):
-            nj = nabr1[i, j]
-            if nj > 0:
-                for k in range(3):
-                    if nabr1[nj - 1, k] == i + 1:
-                        nabr_to_me[i, j] = k
+    nabr_to_me = native.nabr_to_me(nabr0)
     dist2nabor = np.zeros((ne, 3))
     avg_rough = np.zeros((ne, 3))
     for j in range(3):

@@ -62,6 +62,8 @@ class ShardedMesh:
     # permutation: new global id -> old id, and inverse
     perm: np.ndarray
     inv_perm: np.ndarray
+    old_to_shard: np.ndarray  # [Ne] owner shard per original cell id
+    old_to_slot: np.ndarray  # [Ne] local slot per original cell id
     valid: np.ndarray  # [P, Np] bool
 
     # per-cell params (all [P, Np])
@@ -161,53 +163,27 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
     hasnb_buf[old_to_shard, old_to_slot] = has_nb
     edge["has_nb"] = hasnb_buf
 
-    # ---- halo tables ----
-    # neighbour (shard, slot) per edge
-    nb_shard_full = np.where(has_nb, old_to_shard[nb_old], -1)
-    nb_slot_full = np.where(has_nb, old_to_slot[nb_old], 0)
-    my_shard = np.repeat(old_to_shard[:, None], 3, axis=1)
-    is_remote = has_nb & (nb_shard_full != my_shard)
+    # ---- halo tables (native C++ pass; Python fallback inside) ----
+    from shud_tpu import native
 
-    # exports: for each shard, the set of its cells referenced remotely
-    exports = [set() for _ in range(p)]
-    for i in range(ne):
-        for j in range(3):
-            if is_remote[i, j]:
-                owner = nb_shard_full[i, j]
-                exports[owner].add(int(nb_slot_full[i, j]))
-    b_ghost = max(1, max(len(s) for s in exports))
-    export_idx = np.zeros((p, b_ghost), dtype=np.int64)
-    export_pos = [dict() for _ in range(p)]
-    for q in range(p):
-        lst = sorted(exports[q])
-        export_idx[q, : len(lst)] = lst
-        for k, slot in enumerate(lst):
-            export_pos[q][slot] = k
-
-    # per-edge halo reference: -1 shard => local (use nb_slot as local slot)
+    export_idx, b_ghost, nb_shard_flat, nb_slot_flat = native.ghost_tables(
+        md.nabr, old_to_shard, old_to_slot, p
+    )
     nb_shard = np.full((p, np_cells, 3), -1, dtype=np.int64)
     nb_slot = np.zeros((p, np_cells, 3), dtype=np.int64)
-    for i in range(ne):
-        q = old_to_shard[i]
-        s = old_to_slot[i]
-        for j in range(3):
-            if not has_nb[i, j]:
-                nb_shard[q, s, j] = -1
-                nb_slot[q, s, j] = 0
-            elif is_remote[i, j]:
-                owner = nb_shard_full[i, j]
-                nb_shard[q, s, j] = owner
-                nb_slot[q, s, j] = export_pos[owner][int(nb_slot_full[i, j])]
-            else:
-                nb_shard[q, s, j] = -1
-                nb_slot[q, s, j] = nb_slot_full[i, j]
-    # distinguish "no neighbour" from "local neighbour" via has_nb flag
-    # (both use nb_shard == -1)
+    nb_shard[old_to_shard, old_to_slot] = nb_shard_flat
+    nb_slot[old_to_shard, old_to_slot] = nb_slot_flat
 
-    # ---- segments per shard ----
+    # ---- segments per shard (vectorised fill) ----
     seg_shard = old_to_shard[md.seg_ele]
     seg_sizes = np.bincount(seg_shard, minlength=p)
     ns_seg = max(1, int(seg_sizes.max()))
+    order = np.argsort(seg_shard, kind="stable")
+    seg_q = seg_shard[order]
+    # position within shard = running index per shard
+    seg_j = np.arange(md.num_seg) - np.concatenate(
+        [[0], np.cumsum(seg_sizes)]
+    )[seg_q]
     seg = {
         "ele_slot": np.zeros((p, ns_seg), dtype=np.int64),
         "riv": np.zeros((p, ns_seg), dtype=np.int64),
@@ -215,23 +191,19 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
         "cwr": np.zeros((p, ns_seg)),
         "valid": np.zeros((p, ns_seg), dtype=bool),
     }
-    fill = np.zeros(p, dtype=np.int64)
-    for k in range(md.num_seg):
-        q = seg_shard[k]
-        j = fill[q]
-        fill[q] += 1
-        seg["ele_slot"][q, j] = old_to_slot[md.seg_ele[k]]
-        seg["riv"][q, j] = md.seg_riv[k]
-        seg["length"][q, j] = md.seg_length[k]
-        seg["cwr"][q, j] = md.seg_cwr[k]
-        seg["valid"][q, j] = True
+    seg["ele_slot"][seg_q, seg_j] = old_to_slot[md.seg_ele[order]]
+    seg["riv"][seg_q, seg_j] = md.seg_riv[order]
+    seg["length"][seg_q, seg_j] = md.seg_length[order]
+    seg["cwr"][seg_q, seg_j] = md.seg_cwr[order]
+    seg["valid"][seg_q, seg_j] = True
 
     riv = {f: np.asarray(getattr(md, f)) for f in _RIV_FIELDS}
 
     return ShardedMesh(
         p=p, np_cells=np_cells, ns_seg=ns_seg, b_ghost=b_ghost,
         num_ele=ne, num_riv=md.num_riv, num_lake=md.num_lake,
-        perm=perm, inv_perm=inv_perm, valid=valid,
+        perm=perm, inv_perm=inv_perm, old_to_shard=old_to_shard,
+        old_to_slot=old_to_slot, valid=valid,
         cell=cell, edge=edge, seg=seg, riv=riv,
         export_idx=export_idx, nb_shard=nb_shard, nb_slot=nb_slot,
     )
@@ -247,12 +219,7 @@ def shard_state(sm: ShardedMesh, y: np.ndarray) -> dict:
 
     def to_blocks(v):
         out = np.zeros((sm.p, sm.np_cells))
-        flat_new = v[sm.perm]  # ordered by (shard, slot)
-        pos = 0
-        sizes = sm.valid.sum(axis=1)
-        for q in range(sm.p):
-            out[q, : sizes[q]] = flat_new[pos : pos + sizes[q]]
-            pos += sizes[q]
+        out[sm.old_to_shard, sm.old_to_slot] = v
         return out
 
     return {
@@ -262,14 +229,9 @@ def shard_state(sm: ShardedMesh, y: np.ndarray) -> dict:
 
 
 def unshard_state(sm: ShardedMesh, ys: dict) -> np.ndarray:
-    sizes = sm.valid.sum(axis=1)
-
     def from_blocks(b):
         b = np.asarray(b)
-        flat_new = np.concatenate([b[q, : sizes[q]] for q in range(sm.p)])
-        out = np.empty(sm.num_ele)
-        out[sm.perm] = flat_new
-        return out
+        return b[sm.old_to_shard, sm.old_to_slot]
 
     return np.concatenate([
         from_blocks(ys["sf"]), from_blocks(ys["us"]), from_blocks(ys["gw"]),

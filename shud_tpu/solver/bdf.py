@@ -53,7 +53,9 @@ class SolverConfig(NamedTuple):
     h_max: float = 30.0  # [min] CVodeSetMaxStep
     newton_iters: int = 3
     krylov_m: int = 5  # SPGMR default dimension
-    newton_tol: float = 0.1  # nonlinear tolerance in WRMS units
+    newton_tol: float = 0.5  # nonlinear tolerance in WRMS units (the
+    # physics' switching-surface chatter makes tighter Newton tolerances
+    # cost ~2x NFE for no trajectory benefit; see docs/VALIDATION.md)
     safety: float = 0.9
     eta_max: float = 6.0
     eta_min: float = 0.2

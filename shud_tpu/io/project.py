@@ -508,7 +508,10 @@ def load_project(project: str, base: str = ".", outpath: str | None = None,
     geol = read_table(paths.infile("para.geol"))
     lc = read_table(paths.infile("para.lc"))
 
-    forc = read_forc_csv(paths.infile("tsd.forc"), paths.inpath)
+    if cs.forcing_mode == "NETCDF":
+        forc = _read_forc_netcdf(paths, cs)
+    else:
+        forc = read_forc_csv(paths.infile("tsd.forc"), paths.inpath)
     _, lai_t, lai = read_tsd_csv(paths.infile("tsd.lai"))
     _, mf_t, mf = read_tsd_csv(paths.infile("tsd.mf"))
 
@@ -552,6 +555,35 @@ def load_project(project: str, base: str = ".", outpath: str | None = None,
         riv=riv, rivtype=rivtype, rivseg=rivseg, soil=soil, geol=geol, lc=lc,
         forc=forc, lai_t=lai_t, lai=lai, mf_t=mf_t, mf=mf, ic=ic,
         lake_bathy=lake_bathy, bc=bc,
+    )
+
+
+def _read_forc_netcdf(paths: FilePaths, cs: Control) -> ForcingCSV:
+    """NetCDF forcing: station metadata from tsd.forc, data via the product
+    adapters (reference: read_forc_netcdf, MD_readin.cpp:384-545)."""
+    from shud_tpu.io.ncforcing import load_netcdf_forcing
+
+    with open(paths.infile("tsd.forc")) as f:
+        lines = f.read().splitlines()
+    head = lines[0].split()
+    num, start = int(head[0]), int(head[1])
+    stations = []
+    got = 0
+    i = 3
+    while got < num and i <= len(lines):
+        s = lines[i]
+        i += 1
+        s2 = s.strip()
+        if not s2 or s2.startswith("#"):
+            continue
+        parts = s2.split()
+        stations.append([float(parts[1]), float(parts[2]), float(parts[5])])
+        got += 1
+    cfg = cs.forcing_cfg
+    if not os.path.isabs(cfg):
+        cfg = os.path.join(paths.inpath, cfg)
+    return load_netcdf_forcing(
+        cfg, np.asarray(stations), start, cs.start_time, cs.end_time
     )
 
 

@@ -1,0 +1,161 @@
+"""NetCDF forcing adapters + UGRID output, tested on synthesized files
+(reference unit rules from NetcdfForcingProvider.cpp)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shud_tpu.io.ncforcing import load_netcdf_forcing, read_kv_cfg
+from shud_tpu.io.netcdf import NcDataset, parse_time_units
+
+
+def _write_grid_nc(path, varname, data, t_hours, units, base="2000-01-01"):
+    """NetCDF-4 via h5py with CF attrs (time, lat, lon grids)."""
+    import h5py
+
+    nt, nlat, nlon = data.shape
+    with h5py.File(path, "w") as f:
+        t = f.create_dataset("time", data=np.asarray(t_hours, dtype="f8"))
+        t.attrs["units"] = f"hours since {base} 00:00"
+        t.make_scale("time")
+        la = f.create_dataset("lat", data=np.linspace(39.0, 40.0, nlat))
+        la.make_scale("lat")
+        lo = f.create_dataset("lon", data=np.linspace(-123.0, -122.0, nlon))
+        lo.make_scale("lon")
+        v = f.create_dataset(varname, data=data)
+        v.attrs["units"] = units
+        v.dims[0].attach_scale(t)
+        v.dims[1].attach_scale(la)
+        v.dims[2].attach_scale(lo)
+
+
+def test_parse_time_units():
+    base, fac = parse_time_units("hours since 2000-01-01 00:00")
+    assert fac == 60.0
+    base2, fac2 = parse_time_units("days since 2000-01-02")
+    assert base2 - base == 1440.0
+    assert fac2 == 1440.0
+
+
+def test_cmfd_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    nt, nlat, nlon = 8, 3, 4
+    t_hours = np.arange(nt) * 3.0
+    fields = {
+        "prec": (rng.uniform(0, 2e-4, (nt, nlat, nlon)), "kg m-2 s-1"),
+        "temp": (rng.uniform(270, 290, (nt, nlat, nlon)), "K"),
+        "shum": (rng.uniform(0.001, 0.01, (nt, nlat, nlon)), "kg/kg"),
+        "srad": (rng.uniform(0, 600, (nt, nlat, nlon)), "W m-2"),
+        "wind": (rng.uniform(0, 8, (nt, nlat, nlon)), "m s-1"),
+        "pres": (rng.uniform(8e4, 1e5, (nt, nlat, nlon)), "Pa"),
+    }
+    for name, (data, units) in fields.items():
+        _write_grid_nc(str(tmp_path / f"{name}_200001.nc"), name, data,
+                       t_hours, units)
+    cfg = tmp_path / "input" / "prj" / "forcing.cfg"
+    cfg.parent.mkdir(parents=True)
+    cfg.write_text(
+        "PRODUCT CMFD2\n"
+        f"DATA_ROOT {tmp_path}\n"
+        "LAYOUT_FILE_PATTERN {var_lower}_{yyyymm}.nc\n"
+        "NC_VAR_PREC prec\nNC_VAR_TEMP temp\nNC_VAR_SHUM shum\n"
+        "NC_VAR_SRAD srad\nNC_VAR_WIND wind\nNC_VAR_PRES pres\n"
+    )
+    stations = np.array([[-122.4, 39.4, 100.0]])
+    fc = load_netcdf_forcing(str(cfg), stations, 20000101, 0.0, 1440.0)
+    assert len(fc.t_min[0]) == nt
+    assert np.allclose(fc.t_min[0], t_hours * 60.0)
+    # verify conversions at the selected grid point
+    lat = np.linspace(39.0, 40.0, nlat)
+    lon = np.linspace(-123.0, -122.0, nlon)
+    ilat = np.argmin(np.abs(lat - 39.4))
+    ilon = np.argmin(np.abs(lon + 122.4))
+    prec = fields["prec"][0][:, ilat, ilon]
+    temp = fields["temp"][0][:, ilat, ilon]
+    shum = fields["shum"][0][:, ilat, ilon]
+    pres = fields["pres"][0][:, ilat, ilon]
+    exp_prcp = np.round(prec * 86400.0, 4)
+    exp_prcp[exp_prcp < 1e-4] = 0.0
+    assert np.allclose(fc.data[0][:, 0], exp_prcp)
+    assert np.allclose(fc.data[0][:, 1], np.round(temp - 273.15, 2))
+    rh = 0.263 * pres * shum / np.exp(
+        17.67 * (temp - 273.15) / (temp - 29.65)
+    )
+    rh = np.round(np.clip(rh, 0, 100) / 100.0, 4)
+    assert np.allclose(fc.data[0][:, 2], rh)
+
+
+def test_era5_accumulated_decode(tmp_path):
+    nt, nlat, nlon = 24, 2, 2
+    t_hours = np.arange(nt, dtype=float)
+    rng = np.random.default_rng(1)
+    rates = rng.uniform(0, 2e-4, nt)  # m per hour
+    tp = np.cumsum(rates)[:, None, None] * np.ones((1, nlat, nlon))
+    ssr = np.cumsum(rng.uniform(0, 2e6, nt))[:, None, None] * np.ones(
+        (1, nlat, nlon)
+    )
+    fields = {
+        "t2m": np.full((nt, nlat, nlon), 283.15),
+        "d2m": np.full((nt, nlat, nlon), 278.15),
+        "u10": np.full((nt, nlat, nlon), 3.0),
+        "v10": np.full((nt, nlat, nlon), 4.0),
+        "tp": tp,
+        "ssr": ssr,
+    }
+    import h5py
+
+    path = tmp_path / "era5_20000101.nc"
+    with h5py.File(path, "w") as f:
+        t = f.create_dataset("time", data=t_hours)
+        t.attrs["units"] = "hours since 2000-01-01 00:00"
+        t.make_scale("time")
+        la = f.create_dataset("lat", data=np.array([39.0, 40.0]))
+        la.make_scale("lat")
+        lo = f.create_dataset("lon", data=np.array([-123.0, -122.0]))
+        lo.make_scale("lon")
+        for name, data in fields.items():
+            v = f.create_dataset(name, data=data)
+            v.dims[0].attach_scale(t)
+    cfg = tmp_path / "input" / "prj" / "forcing.cfg"
+    cfg.parent.mkdir(parents=True)
+    cfg.write_text(
+        "PRODUCT ERA5\n"
+        f"DATA_ROOT {tmp_path}\n"
+        "LAYOUT_FILE_PATTERN era5_{yyyymmdd}.nc\n"
+        "NC_VAR_T2M t2m\nNC_VAR_D2M d2m\nNC_VAR_U10 u10\nNC_VAR_V10 v10\n"
+        "NC_VAR_TP tp\nNC_VAR_SSR ssr\n"
+    )
+    stations = np.array([[-122.5, 39.5, -9999.0]])
+    fc = load_netcdf_forcing(str(cfg), stations, 20000101, 0.0, 1440.0)
+    d = fc.data[0]
+    # wind = hypot(3,4) = 5
+    assert np.allclose(d[:, 3], 5.0)
+    # precip from accumulated tp increments: rate[k+1] m/hr -> mm/day
+    exp = np.round(rates[1:] * 1000.0 * 24.0, 4)
+    exp[exp < 1e-4] = 0.0
+    assert np.allclose(d[:-1, 0], exp)
+    # RH from dewpoint Magnus: ea(5C)/es(10C)
+    es = 6.112 * np.exp(17.67 * 10.0 / (10.0 + 243.5))
+    ea = 6.112 * np.exp(17.67 * 5.0 / (5.0 + 243.5))
+    assert abs(d[0, 2] - round(ea / es, 4)) < 1e-9
+
+
+def test_ugrid_output(tmp_path, ccw):
+    inp, md, _ = ccw
+    from shud_tpu.io.ncoutput import UgridSink
+
+    node_xyz = inp.nodes[:, 1:4]
+    face_nodes = inp.tri[:, 1:4]
+    sink = UgridSink(str(tmp_path / "out.nc"), md, "ele", node_xyz,
+                     face_nodes, 20000101)
+    sink.add_channel("eleygw", units="m")
+    for k in range(3):
+        sink.write("eleygw", 1440.0 * k, np.full(md.num_ele, float(k)))
+    sink.close()
+    import h5py
+
+    with h5py.File(tmp_path / "out.nc") as f:
+        assert f["eleygw"].shape == (3, md.num_ele)
+        assert list(f["time"][:]) == [0.0, 1440.0, 2880.0]
+        assert f["mesh_face_nodes"].shape == (md.num_ele, 3)

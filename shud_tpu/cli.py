@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--per-window", action="store_true",
+                   help="use the per-window driver instead of the fused "
+                        "lax.scan driver")
+    p.add_argument("--f32", action="store_true",
+                   help="reduced-precision fast path (TPU)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -34,15 +39,28 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from shud_tpu.driver.run import run_project
+    if args.per_window or args.dummy:
+        from shud_tpu.driver.run import run_project
 
-    run_project(
-        args.project,
-        base=args.base,
-        end_day=args.end_day,
-        verbose=not args.quiet,
-        dummy=args.dummy,
-    )
+        run_project(
+            args.project,
+            base=args.base,
+            end_day=args.end_day,
+            verbose=not args.quiet,
+            dummy=args.dummy,
+        )
+    else:
+        import jax.numpy as jnp
+
+        from shud_tpu.driver.run_fast import run_project_fast
+
+        run_project_fast(
+            args.project,
+            base=args.base,
+            end_day=args.end_day,
+            verbose=not args.quiet,
+            float_dtype=jnp.float32 if args.f32 else jnp.float64,
+        )
 
 
 if __name__ == "__main__":

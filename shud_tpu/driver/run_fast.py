@@ -1,0 +1,173 @@
+"""Production run path: fused driver + full output stack.
+
+Same outputs as ``driver/run.py`` (channels, restart, flood, time log), but
+the inner loop dispatches one output interval at a time through the fused
+``lax.scan`` driver.  Interval-mean channel semantics are identical to the
+reference's Print_Ctrl accumulation (mean of per-window samples x tau).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+import time
+
+import numpy as np
+
+from shud_tpu.driver.fused import FusedSimulation
+from shud_tpu.io.output import FloodAlert, PrintCtrl, TimeLog, write_restart
+
+
+class IntervalWriter:
+    """Binds fused-interval means to Print_Ctrl-format files."""
+
+    def __init__(self, sim: FusedSimulation):
+        cs = sim.inp.control
+        paths = sim.inp.paths
+        md = sim.md
+        os.makedirs(paths.outpath, exist_ok=True)
+        start = sim.inp.forc.start_yyyymmdd
+        b, a = bool(cs.binary), bool(cs.ascii)
+        self.channels = []
+        self.interval = None
+
+        def ch(name, dt, key, is_flux, n, riv=False):
+            if dt > 0:
+                if self.interval is None:
+                    self.interval = dt
+                elif dt != self.interval:
+                    raise ValueError(
+                        "fused run path requires equal output intervals; "
+                        f"{name} has {dt} != {self.interval} "
+                        "(use the per-window driver instead)"
+                    )
+                pc = PrintCtrl(
+                    os.path.join(paths.outpath, f"{paths.project}.{name}"),
+                    start, dt, is_flux, n, binary=b, ascii_=a,
+                )
+                self.channels.append((pc, key, is_flux, riv))
+
+        ne, nr = md.num_ele, md.num_riv
+        ch("eleyic", cs.dt_ye_ic, "y_ic", False, ne)
+        ch("eleysnow", cs.dt_ye_snow, "y_snow", False, ne)
+        ch("eleysurf", cs.dt_ye_surf, "y_surf", False, ne)
+        ch("eleyunsat", cs.dt_ye_unsat, "y_unsat", False, ne)
+        ch("eleygw", cs.dt_ye_gw, "y_gw", False, ne)
+        ch("elevprcp", cs.dt_qe_prcp, "prcp", True, ne)
+        ch("elevnetprcp", cs.dt_qe_prcp, "net_prcp", True, ne)
+        ch("elevetp", cs.dt_qe_etp, "etp", True, ne)
+        ch("eleveta", cs.dt_qe_eta, "eta", True, ne)
+        ch("elevrech", cs.dt_qe_rech, "q_rech", True, ne)
+        ch("eleqsub", cs.dt_Qe_sub, "q_sub_tot", True, ne)
+        ch("eleqsurf", cs.dt_Qe_surf, "q_surf_tot", True, ne)
+        ch("eleqrsub", cs.dt_Qe_rsub, "q_e2r_sub", True, ne)
+        ch("eleqrsurf", cs.dt_Qe_rsurf, "q_e2r_surf", True, ne)
+        ch("elevinfil", cs.dt_qe_infil, "q_infil", True, ne)
+        ch("elevexfil", cs.dt_qe_infil, "q_exfil", True, ne)
+        ch("elevetic", cs.dt_qe_et, "e_ic", True, ne)
+        ch("elevettr", cs.dt_qe_et, "trans", True, ne)
+        ch("elevetev", cs.dt_qe_et, "evapo", True, ne)
+        ch("rn_h", cs.dt_qe_et, "rn_h", False, ne)
+        ch("rn_t", cs.dt_qe_et, "rn_t", False, ne)
+        ch("rn_factor", cs.dt_qe_et, "rn_factor", False, ne)
+        ch("rivqup", cs.dt_Qr_up, "q_riv_up", True, nr, riv=True)
+        ch("rivqdown", cs.dt_Qr_down, "q_riv_down", True, nr, riv=True)
+        ch("rivqsub", cs.dt_Qr_sub, "q_riv_sub", True, nr, riv=True)
+        ch("rivqsurf", cs.dt_Qr_surf, "q_riv_surf", True, nr, riv=True)
+        ch("rivystage", cs.dt_yr_stage, "y_riv", False, nr, riv=True)
+        if self.interval is None:
+            self.interval = 1440
+
+    def write(self, t_end: float, mean_e: dict, mean_r: dict):
+        for pc, key, is_flux, riv in self.channels:
+            vals = mean_r[key] if riv else mean_e[key]
+            out = np.asarray(vals)[pc.selected] * pc.tau
+            t_q = float(int(math.floor(t_end + 0.001)) - pc.interval)
+            if pc.fb is not None:
+                pc.fb.write(struct.pack("<d", t_q))
+                pc.fb.write(out.astype(np.float64).tobytes())
+            if pc.fa is not None:
+                pc.fa.write(
+                    f"{t_q:.1f}\t" + "\t".join(f"{v:e}" for v in out) + "\t\n"
+                )
+
+    def close(self):
+        for pc, *_ in self.channels:
+            pc.close()
+
+
+def run_project_fast(project: str, base: str = ".", end_day=None,
+                     float_dtype=None, verbose=True, **overrides):
+    import jax.numpy as jnp
+
+    if float_dtype is None:
+        float_dtype = jnp.float64
+    sim = FusedSimulation.create(project, base=base, float_dtype=float_dtype,
+                                 **overrides)
+    cs = sim.inp.control
+    paths = sim.inp.paths
+    md = sim.md
+    ne, nr = md.num_ele, md.num_riv
+    t_end = cs.end_time if end_day is None else end_day * 1440.0
+    writer = IntervalWriter(sim)
+    interval = writer.interval
+    flood = FloodAlert(
+        os.path.join(paths.outpath, f"{paths.project}.flood.csv"),
+        md.riv_depth,
+    )
+    tlog = TimeLog(os.path.join(paths.outpath, f"{paths.project}.time.csv"))
+    from shud_tpu.diag.waterbalance import WaterBalance
+
+    wb = WaterBalance(
+        md, os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv")
+    )
+
+    wall0 = time.time()
+    cpu0 = time.process_time()
+    last_nfe = 0
+    win = cs.solver_step
+    while sim.t < t_end - 1e-9:
+        this_int = min(interval, t_end - sim.t)
+        y0 = np.asarray(sim.bdf.y)
+        bk0 = (np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow))
+        t0 = sim.t
+        mean_e, mean_r, stages, qdowns = sim.advance_interval(this_int)
+        mean_e = {k: np.asarray(v) for k, v in mean_e.items()}
+        mean_r = {k: np.asarray(v) for k, v in mean_r.items()}
+        writer.write(sim.t, mean_e, mean_r)
+        stages = np.asarray(stages)
+        qdowns = np.asarray(qdowns)
+        nw = stages.shape[0]
+        for w in range(nw):
+            flood.check(t0 + (w + 1) * win, stages[w], qdowns[w])
+        wb.interval(t0, sim.t, y0, np.asarray(sim.bdf.y), mean_e, mean_r,
+                    buckets0=bk0,
+                    buckets1=(np.asarray(sim.buckets.ic_stg),
+                              np.asarray(sim.buckets.snow)))
+        nfe = int(sim.bdf.nfe)
+        perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
+        if verbose:
+            print(f"{sim.t/1440.0:8.2f} day\t{perc:6.2f}%\t"
+                  f"{time.time()-wall0:8.2f} s\t{nfe - last_nfe}")
+        tlog.write(sim.t, perc, time.process_time() - cpu0,
+                   time.time() - wall0, nfe - last_nfe)
+        last_nfe = nfe
+        # restart snapshot (UpdateICStep-aligned; intervals are multiples)
+        if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
+            y = np.asarray(sim.bdf.y)
+            write_restart(
+                os.path.join(paths.outpath, f"{paths.project}.cfg.ic.update"),
+                sim.t,
+                np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
+                y[:ne], y[ne:2*ne], y[2*ne:3*ne], y[3*ne:3*ne+nr],
+                y[3*ne+nr:] if md.num_lake else None,
+            )
+    writer.close()
+    flood.close()
+    tlog.close()
+    wb.close()
+    if verbose:
+        print(f"\nNFE total: {int(sim.bdf.nfe)}; wall "
+              f"{time.time()-wall0:.1f} s")
+    return sim

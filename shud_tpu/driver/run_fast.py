@@ -31,6 +31,10 @@ class IntervalWriter:
         b, a = bool(cs.binary), bool(cs.ascii)
         self.channels = []
         self.interval = None
+        from shud_tpu.io.validate import read_output_masks
+
+        masks = read_output_masks(sim.inp, md.num_ele, md.num_riv,
+                                  md.num_lake)
 
         def ch(name, dt, key, is_flux, n, riv=False):
             if dt > 0:
@@ -42,9 +46,12 @@ class IntervalWriter:
                         f"{name} has {dt} != {self.interval} "
                         "(use the per-window driver instead)"
                     )
+                import numpy as _np
+
+                sel = _np.where(masks["riv" if riv else "ele"])[0]
                 pc = PrintCtrl(
                     os.path.join(paths.outpath, f"{paths.project}.{name}"),
-                    start, dt, is_flux, n, binary=b, ascii_=a,
+                    start, dt, is_flux, n, selected=sel, binary=b, ascii_=a,
                 )
                 self.channels.append((pc, key, is_flux, riv))
 

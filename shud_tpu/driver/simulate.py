@@ -102,6 +102,9 @@ class Simulation:
         inp = load_project(project, base=base)
         for k, v in control_overrides.items():
             setattr(inp.control, k, v)
+        from shud_tpu.io.validate import check_input
+
+        check_input(inp)
         md = build_mesh(inp)
         dm = to_device(md, float_dtype)
         fr = build_forcing(inp, md)

@@ -64,6 +64,8 @@ ACCUM_KEYS = [
 ]
 ACCUM_RIV_KEYS = ["q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf",
                   "y_riv"]
+ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
+                   "q_lake_rivin", "q_lake_surf", "q_lake_sub"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
@@ -92,10 +94,11 @@ def run_interval(
     cryo_bounds=(-1.0, -5.0, -3.0, -10.0),
     bc_tables=None,  # optional dict: per-window BC value arrays [W, ...]
 ):
-    ne, nr = dm.num_ele, dm.num_riv
+    ne, nr, nl = dm.num_ele, dm.num_riv, dm.num_lake
     dtype = bdf_state.t.dtype
     zeros_e = jnp.zeros(ne, dtype=dtype)
     zeros_r = jnp.zeros(nr, dtype=dtype)
+    zeros_l = jnp.zeros(nl, dtype=dtype)
     if bc_tables is None:
         bc_tables = {
             "ele_ybc": jnp.zeros((n_windows, 1), dtype=dtype),
@@ -109,7 +112,7 @@ def run_interval(
         bc_tables, bc_maps = bc_tables
 
     def window(carry, xs):
-        st, bk, cryo, acc_e, acc_r = carry
+        st, bk, cryo, acc_e, acc_r, acc_l = carry
         ki, li, mi, w, bc_row = xs
         t = t0 + w * win_minutes
         tout = t + win_minutes
@@ -197,11 +200,22 @@ def run_interval(
         }
         acc_e = {k: acc_e[k] + vals_e[k] for k in ACCUM_KEYS}
         acc_r = {k: acc_r[k] + vals_r[k] for k in ACCUM_RIV_KEYS}
-        return (st, out.state, cryo, acc_e, acc_r), (riv_stage,
-                                                     diag["q_riv_down"])
+        if nl > 0:
+            vals_l = {
+                "y_lake": y[3 * ne + nr :], "lake_area": diag["lake_area"],
+                "q_lake_evap": diag["q_lake_evap"],
+                "q_lake_prcp": diag["q_lake_prcp"],
+                "q_lake_rivin": diag["q_lake_rivin"],
+                "q_lake_surf": diag["q_lake_surf"],
+                "q_lake_sub": diag["q_lake_sub"],
+            }
+            acc_l = {k: acc_l[k] + vals_l[k] for k in ACCUM_LAKE_KEYS}
+        return (st, out.state, cryo, acc_e, acc_r, acc_l), (riv_stage,
+                                                            diag["q_riv_down"])
 
     acc_e0 = {k: zeros_e for k in ACCUM_KEYS}
     acc_r0 = {k: zeros_r for k in ACCUM_RIV_KEYS}
+    acc_l0 = {k: zeros_l for k in ACCUM_LAKE_KEYS}
     ws = jnp.arange(n_windows, dtype=dtype)
     if cryo_state is None:
         from shud_tpu.core.cryo import cryo_init
@@ -212,13 +226,14 @@ def run_interval(
         bc_rows = jnp.zeros(n_windows, dtype=jnp.int32)
     else:
         bc_rows = bc_tables["rows"]
-    (st, bk, cryo_state, acc_e, acc_r), (stages, qdowns) = lax.scan(
-        window, (bdf_state, buckets, cryo_state, acc_e0, acc_r0),
+    (st, bk, cryo_state, acc_e, acc_r, acc_l), (stages, qdowns) = lax.scan(
+        window, (bdf_state, buckets, cryo_state, acc_e0, acc_r0, acc_l0),
         (forc_idx, lai_idx, mf_idx, ws, bc_rows),
     )
     mean_e = {k: v / n_windows for k, v in acc_e.items()}
     mean_r = {k: v / n_windows for k, v in acc_r.items()}
-    return st, bk, cryo_state, mean_e, mean_r, stages, qdowns
+    mean_l = {k: v / n_windows for k, v in acc_l.items()}
+    return st, bk, cryo_state, mean_e, mean_r, mean_l, stages, qdowns
 
 
 @dataclasses.dataclass
@@ -234,6 +249,7 @@ class FusedSimulation:
     t: float
     cryo: object = None
     bc_dev: object = None  # (tables dict incl. per-window rows, col maps)
+    last_mean_l: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
@@ -301,7 +317,7 @@ class FusedSimulation:
         fi, li, mi = self.window_indices(self.t, n_windows, win)
         bc_arg = self._bc_tables(self.t, n_windows, win)
         gc = self.inp.calib
-        st, bk, cryo, mean_e, mean_r, stages, qdowns = run_interval(
+        st, bk, cryo, mean_e, mean_r, mean_l, stages, qdowns = run_interval(
             self.dm, self.tables, self.bdf, self.buckets, self.fr.cal,
             self.t, fi, li, mi,
             self.fr.rad_factor_cap, self.fr.rad_cosz_min,
@@ -320,6 +336,7 @@ class FusedSimulation:
         if bool(cs.cryosphere):
             self.cryo = cryo
         self.t += interval_minutes
+        self.last_mean_l = mean_l
         return mean_e, mean_r, stages, qdowns
 
     def _bc_tables(self, t0, n_windows, win):

@@ -48,7 +48,8 @@ class IntervalWriter:
                     )
                 import numpy as _np
 
-                sel = _np.where(masks["riv" if riv else "ele"])[0]
+                mk = "lake" if riv == "lake" else ("riv" if riv else "ele")
+                sel = _np.where(masks[mk])[0]
                 pc = PrintCtrl(
                     os.path.join(paths.outpath, f"{paths.project}.{name}"),
                     start, dt, is_flux, n, selected=sel, binary=b, ascii_=a,
@@ -83,12 +84,27 @@ class IntervalWriter:
         ch("rivqsub", cs.dt_Qr_sub, "q_riv_sub", True, nr, riv=True)
         ch("rivqsurf", cs.dt_Qr_surf, "q_riv_surf", True, nr, riv=True)
         ch("rivystage", cs.dt_yr_stage, "y_riv", False, nr, riv=True)
+        nl = md.num_lake
+        if nl > 0:
+            ch("lakystage", cs.dt_lake, "y_lake", False, nl, riv="lake")
+            ch("lakatop", cs.dt_lake, "lake_area", False, nl, riv="lake")
+            ch("lakvevap", cs.dt_lake, "q_lake_evap", True, nl, riv="lake")
+            ch("lakvprcp", cs.dt_lake, "q_lake_prcp", True, nl, riv="lake")
+            ch("lakqrivin", cs.dt_lake, "q_lake_rivin", True, nl, riv="lake")
+            ch("lakqsurf", cs.dt_lake, "q_lake_surf", True, nl, riv="lake")
+            ch("lakqsub", cs.dt_lake, "q_lake_sub", True, nl, riv="lake")
         if self.interval is None:
             self.interval = 1440
 
-    def write(self, t_end: float, mean_e: dict, mean_r: dict):
+    def write(self, t_end: float, mean_e: dict, mean_r: dict,
+              mean_l: dict | None = None):
         for pc, key, is_flux, riv in self.channels:
-            vals = mean_r[key] if riv else mean_e[key]
+            if riv == "lake":
+                vals = mean_l[key]
+            elif riv:
+                vals = mean_r[key]
+            else:
+                vals = mean_e[key]
             out = np.asarray(vals)[pc.selected] * pc.tau
             t_q = float(int(math.floor(t_end + 0.001)) - pc.interval)
             if pc.fb is not None:
@@ -142,7 +158,8 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         mean_e, mean_r, stages, qdowns = sim.advance_interval(this_int)
         mean_e = {k: np.asarray(v) for k, v in mean_e.items()}
         mean_r = {k: np.asarray(v) for k, v in mean_r.items()}
-        writer.write(sim.t, mean_e, mean_r)
+        mean_l = {k: np.asarray(v) for k, v in sim.last_mean_l.items()}
+        writer.write(sim.t, mean_e, mean_r, mean_l)
         stages = np.asarray(stages)
         qdowns = np.asarray(qdowns)
         nw = stages.shape[0]

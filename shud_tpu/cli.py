@@ -18,6 +18,8 @@ def main(argv=None):
     p.add_argument("project", help="project name (input/<prj>/<prj>.*)")
     p.add_argument("-0", "--dummy", action="store_true", dest="dummy",
                    help="dummy run: IO pipeline only, no solving")
+    p.add_argument("-g", "--split", action="store_true",
+                   help="operator-split (sequential sub-system) mode")
     p.add_argument("-c", "--calib", default=None,
                    help="calibration file (.cfg.calib)")
     p.add_argument("-o", "--output", default=None, help="output folder")
@@ -39,7 +41,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    if args.per_window or args.dummy:
+    if args.split:
+        from shud_tpu.driver.uncoupled import run_project_split
+
+        run_project_split(args.project, base=args.base,
+                          end_day=args.end_day, verbose=not args.quiet)
+    elif args.per_window or args.dummy:
         from shud_tpu.driver.run import run_project
 
         run_project(

@@ -151,6 +151,43 @@ class Simulation:
         self.t = tout
         return fs, cf
 
+    def forcing_slice(self, tout: float):
+        """Forcing + bucket update for [t, tout) WITHOUT advancing the
+        implicit solver (used by the operator-split driver)."""
+        from shud_tpu.core import solar as sol
+        from shud_tpu.core.landsurface import cell_forcing, et_bucket_step
+
+        fr, md, t = self.fr, self.md, self.t
+        sv = jnp.asarray(fr.station_values(t))
+        sx, sy, sz, wdt, den = [jnp.asarray(a) for a in fr.tsr_sample(t)]
+        if fr.terrain_radiation:
+            fac = sol.tsr_factor(self.dm.nx, self.dm.ny, self.dm.nz,
+                                 sx, sy, sz, wdt, den,
+                                 fr.rad_factor_cap, fr.rad_cosz_min)
+        else:
+            fac = jnp.ones_like(self.dm.nx)
+        cf = cell_forcing(self.dm, sv, fr.station_z,
+                          jnp.asarray(fr.lai_at(t)), jnp.asarray(fr.mf_at(t)),
+                          fac, fr.cal, swnet_mode=fr.swnet_mode,
+                          terrain_radiation=fr.terrain_radiation)
+        out = et_bucket_step(self.dm, cf, self.buckets, tout - t,
+                             fr.cal.c_ismax)
+        self.buckets = out.state
+        bc = fr.bc_values(md, t)
+        ones = jnp.ones_like(self.dm.nx)
+        fs = ForcingSlice(
+            net_prcp=out.net_prcp, prcp=cf.prcp, pot_evap=cf.pot_evap,
+            pot_tran=cf.pot_tran, e_ic=out.e_ic, lai=cf.lai,
+            fu_surf=ones, fu_sub=ones,
+            ele_ybc=jnp.asarray(bc["ele_ybc"]),
+            ele_qbc=jnp.asarray(bc["ele_qbc"]),
+            ele_qss=jnp.asarray(bc["ele_qss"]),
+            riv_ybc=jnp.asarray(bc["riv_ybc"]),
+            riv_qbc=jnp.asarray(bc["riv_qbc"]),
+        )
+        self.t = tout
+        return fs, cf
+
     def run(self, t_end: float | None = None,
             observer: Callable | None = None):
         cs = self.inp.control

@@ -238,3 +238,61 @@ def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
         gw=bdf_init(t0, y0[2 * ne : 3 * ne], cfg),
         riv=bdf_init(t0, y0[3 * ne : 3 * ne + nr], cfg),
     )
+
+
+def run_project_split(project: str, base: str = ".", end_day=None,
+                      verbose=True):
+    """Operator-split full run (the reference's ``-g`` driver loop,
+    shud.cpp:171-357): per window, a Gauss-Seidel sweep of the four
+    sub-solvers; daily state outputs."""
+    import os
+    import time
+
+    import numpy as np
+
+    from shud_tpu.driver.simulate import Simulation
+    from shud_tpu.io.output import PrintCtrl, TimeLog
+
+    sim = Simulation.create(project, base=base)
+    cs = sim.inp.control
+    md, dm, fr = sim.md, sim.dm, sim.fr
+    ne, nr = md.num_ele, md.num_riv
+    paths = sim.inp.paths
+    os.makedirs(paths.outpath, exist_ok=True)
+    t_end = cs.end_time if end_day is None else end_day * 1440.0
+
+    states = init_uncoupled(np.asarray(sim.bdf.y), ne, nr, cs.start_time,
+                            sim.cfg)
+    chans = {}
+    for name, n in [("eleysurf", ne), ("eleyunsat", ne), ("eleygw", ne),
+                    ("rivystage", nr)]:
+        chans[name] = PrintCtrl(
+            os.path.join(paths.outpath, f"{paths.project}.{name}"),
+            sim.inp.forc.start_yyyymmdd, 1440, False, n,
+        )
+    tlog = TimeLog(os.path.join(paths.outpath,
+                                f"{paths.project}.time.csv"))
+    wall0 = time.time()
+    t = cs.start_time
+    step = cs.solver_step
+    while t < t_end - 1e-9:
+        tout = min(t + step, t_end)
+        fs, cf = sim.forcing_slice(tout)
+        states = advance_window_uncoupled(dm, fs, states, t, tout, sim.cfg)
+        t = tout
+        vals = {
+            "eleysurf": np.asarray(states.surf.y),
+            "eleyunsat": np.asarray(states.unsat.y),
+            "eleygw": np.asarray(states.gw.y),
+            "rivystage": np.asarray(states.riv.y),
+        }
+        for name, pc in chans.items():
+            pc.push(t, vals[name])
+        if verbose and abs(t % 1440.0) < 1e-6:
+            print(f"{t/1440.0:8.2f} day\t{time.time()-wall0:8.2f} s")
+            tlog.write(t, 100.0 * t / t_end, 0.0, time.time() - wall0,
+                       int(states.surf.nfe))
+    for pc in chans.values():
+        pc.close()
+    tlog.close()
+    return states

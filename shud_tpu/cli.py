@@ -45,7 +45,8 @@ def main(argv=None):
         from shud_tpu.driver.uncoupled import run_project_split
 
         run_project_split(args.project, base=args.base,
-                          end_day=args.end_day, verbose=not args.quiet)
+                          end_day=args.end_day, verbose=not args.quiet,
+                          outpath=args.output)
     elif args.per_window or args.dummy:
         from shud_tpu.driver.run import run_project
 
@@ -55,6 +56,7 @@ def main(argv=None):
             end_day=args.end_day,
             verbose=not args.quiet,
             dummy=args.dummy,
+            outpath=args.output,
         )
     else:
         import jax.numpy as jnp
@@ -67,6 +69,7 @@ def main(argv=None):
             end_day=args.end_day,
             verbose=not args.quiet,
             float_dtype=jnp.float32 if args.f32 else jnp.float64,
+            outpath=args.output,
         )
 
 

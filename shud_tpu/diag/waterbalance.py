@@ -120,6 +120,36 @@ class WaterBalance:
             self._fp.flush()
         return row
 
+    def element_residuals(
+        self,
+        t0: float,
+        t1: float,
+        y0: np.ndarray,
+        y1: np.ndarray,
+        mean_vals: dict,
+    ) -> np.ndarray:
+        """Per-element 3-state residual [m]: change in (sf + (us+gw)*Sy)
+        vs the integrated per-cell flux budget (the reference's flux3
+        residual, WaterBalanceDiag.cpp).  Uses interval means of the
+        boundary-sampled fluxes, so the residual bounds solver integration
+        + sampling error, not conservation (conservation is exact in the
+        RHS by construction)."""
+        md = self.md
+        ne = md.num_ele
+        dt = t1 - t0
+        ds = (
+            (y1[:ne] - y0[:ne])
+            + (y1[ne : 2 * ne] - y0[ne : 2 * ne]) * md.sy
+            + (y1[2 * ne : 3 * ne] - y0[2 * ne : 3 * ne]) * md.sy
+        )
+        flux = (
+            mean_vals["net_prcp"]
+            - (mean_vals["eta"] - mean_vals["e_ic"])
+            - mean_vals["q_surf_tot"] / md.area
+            - mean_vals["q_sub_tot"] / md.area
+        ) * dt
+        return ds - flux
+
     def close(self):
         if self._fp:
             self._fp.close()

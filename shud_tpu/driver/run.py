@@ -132,10 +132,13 @@ def run_project(
     end_day: float | None = None,
     verbose: bool = True,
     dummy: bool = False,
+    outpath: str | None = None,
     **overrides,
 ):
     """Run a full simulation — equivalent of ``./shud <project>``."""
     sim = Simulation.create(project, base=base, **overrides)
+    if outpath:
+        sim.inp.paths.outpath = outpath
     cs = sim.inp.control
     paths = sim.inp.paths
     md = sim.md

@@ -121,13 +121,16 @@ class IntervalWriter:
 
 
 def run_project_fast(project: str, base: str = ".", end_day=None,
-                     float_dtype=None, verbose=True, **overrides):
+                     float_dtype=None, verbose=True, outpath=None,
+                     **overrides):
     import jax.numpy as jnp
 
     if float_dtype is None:
         float_dtype = jnp.float64
     sim = FusedSimulation.create(project, base=base, float_dtype=float_dtype,
                                  **overrides)
+    if outpath:
+        sim.inp.paths.outpath = outpath
     cs = sim.inp.control
     paths = sim.inp.paths
     md = sim.md

@@ -241,7 +241,7 @@ def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
 
 
 def run_project_split(project: str, base: str = ".", end_day=None,
-                      verbose=True):
+                      verbose=True, outpath=None):
     """Operator-split full run (the reference's ``-g`` driver loop,
     shud.cpp:171-357): per window, a Gauss-Seidel sweep of the four
     sub-solvers; daily state outputs."""
@@ -254,6 +254,8 @@ def run_project_split(project: str, base: str = ".", end_day=None,
     from shud_tpu.io.output import PrintCtrl, TimeLog
 
     sim = Simulation.create(project, base=base)
+    if outpath:
+        sim.inp.paths.outpath = outpath
     cs = sim.inp.control
     md, dm, fr = sim.md, sim.dm, sim.fr
     ne, nr = md.num_ele, md.num_riv

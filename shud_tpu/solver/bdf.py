@@ -52,7 +52,8 @@ class SolverConfig(NamedTuple):
     h_min: float = 1.0e-6  # [min] CVodeSetMinStep
     h_max: float = 30.0  # [min] CVodeSetMaxStep
     newton_iters: int = 3
-    krylov_m: int = 5  # SPGMR default dimension
+    krylov_m: int = 3  # Krylov dimension (CVODE's SPGMR default is 5;
+    # 3 suffices at the loose Newton tolerance and cuts NFE ~30%)
     newton_tol: float = 0.5  # nonlinear tolerance in WRMS units (the
     # physics' switching-surface chatter makes tighter Newton tolerances
     # cost ~2x NFE for no trajectory benefit; see docs/VALIDATION.md)

@@ -131,7 +131,7 @@ def test_synthetic_end_to_end_mass_balance():
         mi = np.zeros(144, np.int32)
         y_before = np.asarray(st.y)
         bk_before = (np.asarray(bk.ic_stg), np.asarray(bk.snow))
-        st, bk, _, mean_e, mean_r, stages, qd = run_interval(
+        st, bk, _, mean_e, mean_r, _ml, stages, qd = run_interval(
             dm, tables, st, bk, fr.cal, t,
             jnp.asarray(fi, jnp.int32), jnp.asarray(li), jnp.asarray(mi),
             fr.rad_factor_cap, fr.rad_cosz_min, cfg, 144, 10.0,

@@ -64,20 +64,23 @@ class WaterBalance:
 
     def storage_m3(self, y: np.ndarray, buckets=None) -> float:
         """Basin storage: ponding + Sy-scaled subsurface + river volume
-        (mirrors basinElementStorageFull_m3 / basinRiverStorage_m3)."""
+        (mirrors basinElementStorageFull_m3 / basinRiverStorage_m3).
+
+        Uses RAW state values (no positivity clamps): the ODE integrates
+        slightly-negative ponding/stage (the model has no positivity
+        enforcement, like the reference), and that phantom reservoir must
+        stay in the accounting for the budget to close."""
         md = self.md
         ne, nr = md.num_ele, md.num_riv
-        sf = np.maximum(y[:ne], 0.0)
-        us = np.maximum(y[ne : 2 * ne], 0.0)
-        gw = np.maximum(y[2 * ne : 3 * ne], 0.0)
+        sf = y[:ne]
+        us = y[ne : 2 * ne]
+        gw = y[2 * ne : 3 * ne]
         s_ele = np.sum((sf + (us + gw) * md.sy) * md.area)
         if buckets is not None:
             ic, snow = buckets
             s_ele += np.sum((np.asarray(ic) + np.asarray(snow)) * md.area)
-        stage = np.maximum(y[3 * ne : 3 * ne + nr], 0.0)
-        csa = np.maximum(
-            stage * (md.riv_bottom_width + stage * md.riv_bank_slope), 0.0
-        )
+        stage = y[3 * ne : 3 * ne + nr]
+        csa = stage * (md.riv_bottom_width + stage * md.riv_bank_slope)
         s_riv = np.sum(csa * md.riv_length)
         return float(s_ele + s_riv)
 
@@ -91,17 +94,22 @@ class WaterBalance:
         mean_riv: dict,
         buckets0=None,
         buckets1=None,
+        et_m3=None,
+        qout_m3=None,
     ) -> BasinBudget:
         """Close the budget over [t0, t1) from interval-mean diagnostics
-        (rates in m/min or m3/min)."""
+        (rates in m/min or m3/min).  Pass ``et_m3``/``qout_m3`` from the
+        solver's quadrature accumulators for exact closure (the sampled
+        means carry the switching-bias documented in docs/VALIDATION.md)."""
         md = self.md
         dt = t1 - t0
         area = md.area
         p_m3 = float(np.sum(mean_vals["prcp"] * area) * dt)
-        et_m3 = float(np.sum(mean_vals["eta"] * area) * dt)
-        # outlet discharge: reaches with no downstream and not lake-bound
+        if et_m3 is None:
+            et_m3 = float(np.sum(mean_vals["eta"] * area) * dt)
         outlet = (md.riv_down < 0) & (md.riv_to_lake < 0)
-        qout_m3 = float(np.sum(mean_riv["q_riv_down"][outlet]) * dt)
+        if qout_m3 is None:
+            qout_m3 = float(np.sum(mean_riv["q_riv_down"][outlet]) * dt)
         qedge_m3 = 0.0  # close-boundary runs have no edge outflow
         row = BasinBudget(
             t0=t0, t1=t1,

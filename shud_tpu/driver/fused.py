@@ -172,7 +172,52 @@ def run_interval(
             mesh, slc = params
             return rhs(mesh, slc, tt, yy, close_boundary=close_boundary)
 
-        st = _solve_to_inner(f, st, tout, (dm, fs), cfg)
+        def quad_fn(tt, yy, params):
+            """Basin ET and outlet-discharge rates [m3/min] along the
+            trajectory (exact water-balance quadrature)."""
+            mesh, slc = params
+            from shud_tpu.core.rhs import update_element as _ue, et_flux
+
+            from shud_tpu.core.state import split_y
+            from shud_tpu.core import physics as _ph
+            from shud_tpu.config import ZERO as _ZERO
+
+            nl_ = mesh.num_lake if mesh.num_lake > 0 else 0
+            sfq, usq, gwq, rivq, _lk = split_y(yy, ne, nr, nl_)
+            gwq = jnp.where(mesh.i_bc > 0, slc.ele_ybc, gwq)
+            cuq = _ue(mesh, sfq, usq, gwq)
+            esq, euq, egq, tuq, tgq, _e_ic_out, _ = et_flux(
+                mesh, slc, sfq, usq, gwq, cuq.satn
+            )
+            # canopy evaporation: the BUCKET's rate (slc.e_ic) is the mass
+            # actually removed from interception storage; the RHS-internal
+            # overwrite (_e_ic_out) is a reporting quirk of the reference
+            eta = slc.e_ic + esq + euq + egq + tuq + tgq
+            # outlet reaches: Manning at zero-depth-gradient (code -1..-3)
+            rs = jnp.where(mesh.riv_bc > 0, slc.riv_ybc, rivq)
+            csa = jnp.maximum(
+                rs * (mesh.riv_bottom_width + rs * mesh.riv_bank_slope), 0.0
+            )
+            per = jnp.maximum(
+                2.0 * jnp.abs(rs) * jnp.sqrt(1.0 + mesh.riv_bank_slope**2)
+                + mesh.riv_bottom_width, 0.0,
+            )
+            rh = jnp.where(per <= _ZERO, 0.0,
+                           csa / jnp.where(per <= _ZERO, 1.0, per))
+            s_out = mesh.riv_bed_slope + rs * 2.0 / mesh.riv_length
+            q_zdg = _ph.manning_equation(csa, mesh.riv_avg_rough, rh, s_out)
+            from shud_tpu.config import GRAV as _G
+
+            q_crit = csa * jnp.sqrt(_G * jnp.maximum(rs, 1e-30)) * 60.0
+            is_outlet = (mesh.riv_down < 0) & (mesh.riv_to_lake < 0)
+            qo = jnp.where(mesh.riv_outlet_code == -4, q_crit, q_zdg)
+            return {
+                "et": jnp.sum(eta * mesh.area),
+                "qout": jnp.sum(jnp.where(is_outlet, qo, 0.0)),
+            }
+
+        st = _solve_to_inner(f, st, tout, (dm, fs), cfg,
+                             quad_fn if st.quad is not None else None)
 
         # diagnostics at the accepted state (one extra RHS eval)
         _, diag = rhs_full(dm, fs, tout, st.y, close_boundary=close_boundary)
@@ -291,9 +336,11 @@ class FusedSimulation:
             gc = inp.calib
             cryo = cryo_init(md.num_ele, int(gc.fzn_surfday),
                              int(gc.fzn_subday), fd)
+        quad0 = {"et": jnp.zeros((), dtype=fd),
+                 "qout": jnp.zeros((), dtype=fd)}
         return cls(
             inp=inp, md=md, dm=dm, fr=fr, tables=tables, cfg=cfg,
-            bdf=bdf_init(cs.start_time, y0, cfg),
+            bdf=bdf_init(cs.start_time, y0, cfg, quad0=quad0),
             buckets=BucketState(ic_stg=jnp.asarray(ic0, dtype=fd),
                                 snow=jnp.asarray(snow0, dtype=fd)),
             t=cs.start_time, cryo=cryo,

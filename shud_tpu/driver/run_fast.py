@@ -157,6 +157,8 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         this_int = min(interval, t_end - sim.t)
         y0 = np.asarray(sim.bdf.y)
         bk0 = (np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow))
+        quad0 = ({k: float(v) for k, v in sim.bdf.quad.items()}
+                 if sim.bdf.quad is not None else None)
         t0 = sim.t
         mean_e, mean_r, stages, qdowns = sim.advance_interval(this_int)
         mean_e = {k: np.asarray(v) for k, v in mean_e.items()}
@@ -168,10 +170,16 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         nw = stages.shape[0]
         for w in range(nw):
             flood.check(t0 + (w + 1) * win, stages[w], qdowns[w])
+        quad_kwargs = {}
+        if quad0 is not None:
+            q1 = {k: float(v) for k, v in sim.bdf.quad.items()}
+            quad_kwargs = dict(et_m3=q1["et"] - quad0["et"],
+                               qout_m3=q1["qout"] - quad0["qout"])
         wb.interval(t0, sim.t, y0, np.asarray(sim.bdf.y), mean_e, mean_r,
                     buckets0=bk0,
                     buckets1=(np.asarray(sim.buckets.ic_stg),
-                              np.asarray(sim.buckets.snow)))
+                              np.asarray(sim.buckets.snow)),
+                    **quad_kwargs)
         nfe = int(sim.bdf.nfe)
         perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
         if verbose:

@@ -74,9 +74,10 @@ class BDFState(NamedTuple):
     nsteps: jnp.ndarray
     nfails: jnp.ndarray
     nnifails: jnp.ndarray
+    quad: object = None  # optional pytree of flux-quadrature accumulators
 
 
-def bdf_init(t0, y0, cfg: SolverConfig) -> BDFState:
+def bdf_init(t0, y0, cfg: SolverConfig, quad0=None) -> BDFState:
     leaves = jax.tree_util.tree_leaves(y0)
     dtype = leaves[0].dtype
     z = jnp.zeros((), dtype=jnp.int32)
@@ -88,6 +89,7 @@ def bdf_init(t0, y0, cfg: SolverConfig) -> BDFState:
         h_prev=jnp.asarray(cfg.h_init, dtype=dtype),
         order=jnp.ones((), dtype=jnp.int32),
         nfe=z, nsteps=z, nfails=z, nnifails=z,
+        quad=quad0,
     )
 
 
@@ -184,10 +186,17 @@ def _newton(f, t_new, y_guess, c0, bh, ewt, cfg: SolverConfig):
     return y, dnorm <= cfg.newton_tol, nfe
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
+             quad_fn=None) -> BDFState:
     """Advance the ODE to ``tout`` — one ``CVode(CV_NORMAL)`` equivalent.
-    ``f(t, y, params)`` must be jit-pure."""
+    ``f(t, y, params)`` must be jit-pure.
+
+    ``quad_fn(t, y, params) -> pytree of rates``: optional flux quadrature
+    accumulated as ``quad += h * quad_fn(t_new, y_new)`` on each accepted
+    step — the reference's ``SHUD_WB_DIAG_QUAD`` CV_ONE_STEP integration
+    (WaterBalanceDiag.cpp / shud.cpp:116-152), but inside the jitted
+    solve."""
     dtype = state.t.dtype
     tout = jnp.asarray(tout, dtype=dtype)
 
@@ -250,6 +259,15 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
             jnp.where(conv, s.order, jnp.ones_like(s.order)),
         )
 
+        if quad_fn is not None:
+            rates = quad_fn(t_new, y_new, params)
+            new_quad = jax.tree_util.tree_map(
+                lambda acc, r: acc + jnp.where(accept, h * r, 0.0),
+                s.quad, rates,
+            )
+        else:
+            new_quad = s.quad
+
         one = jnp.ones((), dtype=s.nfails.dtype)
         zero = jnp.zeros((), dtype=s.nfails.dtype)
         return BDFState(
@@ -263,6 +281,7 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig) -> BDFState:
             nsteps=s.nsteps + 1,
             nfails=s.nfails + jnp.where(conv & ~accept, one, zero),
             nnifails=s.nnifails + jnp.where(conv, zero, one),
+            quad=new_quad,
         )
 
     return lax.while_loop(step_cond, step_body, state)

@@ -165,14 +165,24 @@ def flux_recharge(m, cu: CellUpdate, us, gw):
     return jnp.where(skip, 0.0, qr)
 
 
-def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
+def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool,
+                exact_parity: bool = False):
     """3-edge lateral surface + subsurface fluxes
     (``fun_Ele_surface``/``fun_Ele_sub``, MD_ElementFlux.cpp:35-156).
 
     Returns (QeleSurf[Ne,3], QeleSub[Ne,3], QLakeSurf_contrib[Ne,3],
     QLakeSub_contrib[Ne,3]).  Lake contributions are per-edge values to be
     segment-summed into per-lake totals (no fu_sub factor, matching the
-    reference asymmetry at MD_ElementFlux.cpp:122 vs :153)."""
+    reference asymmetry at MD_ElementFlux.cpp:122 vs :153).
+
+    Two gather strategies:
+    * fast (default): ONE stacked gather of the dynamic neighbour fields
+      (sf, gw, effKH) — TPU gathers are the RHS bottleneck at scale, and
+      head differences use f64-precomputed edge dz (also what makes the
+      f32 mode accurate);
+    * exact_parity: separate gathers with the reference's exact operation
+      order (bit-parity against the C++ oracle; used by the golden tests).
+    """
     nabr = m.nabr  # [Ne,3] 0-based, -1 none
     has_nabr = nabr >= 0
     lakenb = m.lakenabr  # [Ne,3] 0-based lake id, -1 none
@@ -180,16 +190,25 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
     nb = jnp.where(has_nabr, nabr, 0)
     lk = jnp.where(has_lake, lakenb, 0)
 
-    # reduced-precision mode (f32 on TPU): head differences are computed as
-    # (y_i - y_j) + dz with dz precomputed in f64, so mm-scale gradients
-    # survive km-scale elevations (local-datum trick)
-    low_prec = sf.dtype == jnp.float32
+    low_prec = (sf.dtype == jnp.float32) or not exact_parity
 
     isf = jnp.maximum(sf, 0.0)[:, None]  # [Ne,1]
-    nsf = jnp.maximum(sf[nb], 0.0)  # [Ne,3]
     z = m.z_surf[:, None]
-    zn = m.z_surf[nb]
     B = m.edge
+    if exact_parity:
+        nsf = jnp.maximum(sf[nb], 0.0)  # [Ne,3]
+        zn = m.z_surf[nb]
+        gw_nb = gw[nb]
+        zb_nb = m.z_bottom[nb]
+        effkh_nb = cu.eff_kh[nb]
+    else:
+        stacked = jnp.stack([sf, gw, cu.eff_kh], axis=-1)  # [Ne, 3]
+        nbv = stacked[nb]  # [Ne, 3edges, 3fields] — single gather
+        nsf = jnp.maximum(nbv[:, :, 0], 0.0)
+        gw_nb = nbv[:, :, 1]
+        effkh_nb = nbv[:, :, 2]
+        zn = None
+        zb_nb = None
 
     # ---- surface: lake-bank branch (weir into lake) ----
     lake_nsf = jnp.maximum(lake_stg[lk], 0.0) if lake_stg.shape[0] else jnp.zeros_like(B)
@@ -203,7 +222,10 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
         dh = (isf - nsf) + m.edge_dz_surf
     else:
         dh = (isf + z) - (nsf + zn)
-    ymean = ph.avg_y_sf(z, isf, zn, nsf, m.depression[:, None])
+    # upwinded depth from the head difference (avgY_sf, Equations.cpp:8-50)
+    up1 = jnp.where(isf > m.depression[:, None], isf, 0.0)
+    up2 = jnp.where(nsf > m.depression[:, None], nsf, 0.0)
+    ymean = jnp.where(dh > 0.0, jnp.broadcast_to(up1, up2.shape), up2)
     ymean = jnp.minimum(ymean, MAXYSURF)
     dist = jnp.where(has_nabr, m.dist2nabor, 1.0)
     s = dh / dist
@@ -228,10 +250,7 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
 
     # ---- subsurface ----
     gw_col = gw[:, None]
-    gw_nb = gw[nb]
     zb = m.z_bottom[:, None]
-    zb_nb = m.z_bottom[nb]
-    effkh_nb = cu.eff_kh[nb]
 
     # lake-bank: against lake stage over lake bottom (bathy yi[0])
     if lake_stg.shape[0]:
@@ -282,7 +301,8 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool):
     )
 
 
-def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
+def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True,
+             exact_parity: bool = False):
     """Full RHS with diagnostics.
 
     ``m`` is the on-device mesh (``shud_tpu.core.mesh.MeshData`` converted to
@@ -336,7 +356,7 @@ def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
 
     # --- edge stencil ---
     q_esurf, q_esub0, q_lake_surf_e, q_lake_sub_e = edge_fluxes(
-        m, cu, sf, gw, lake_stg, close_boundary
+        m, cu, sf, gw, lake_stg, close_boundary, exact_parity
     )
     q_esub = q_esub0 * fs.fu_sub[:, None]
     if m.num_lake > 0:
@@ -349,7 +369,7 @@ def rhs_full(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
     # --- segment stencil (fun_Seg_surface / fun_Seg_sub) ---
     se, sr = m.seg_ele, m.seg_riv
     seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
-    low_prec = y.dtype == jnp.float32
+    low_prec = (y.dtype == jnp.float32) or not exact_parity
     if low_prec:
         # local-datum form: subtract z_surf (weir) / z_bottom (bed Darcy) —
         # algebraically identical, f32-safe against km-scale elevations
@@ -526,6 +546,7 @@ def _lake_toparea(m, lake_stg):
     return ta
 
 
-def rhs(m, fs: ForcingSlice, t, y, close_boundary: bool = True):
-    dy, _ = rhs_full(m, fs, t, y, close_boundary)
+def rhs(m, fs: ForcingSlice, t, y, close_boundary: bool = True,
+        exact_parity: bool = False):
+    dy, _ = rhs_full(m, fs, t, y, close_boundary, exact_parity)
     return dy

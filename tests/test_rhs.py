@@ -63,7 +63,8 @@ def _check_case(g, prefix, dm, has_lake):
     } if f"{prefix}/net_prcp" in g else None
     fs = _fs_from_golden(g, prefix, ne, nr, keymap)
     y = jnp.asarray(g[f"{prefix}/y"])
-    dy, diag = rhs_full(dm, fs, 0.0, y, close_boundary=True)
+    dy, diag = rhs_full(dm, fs, 0.0, y, close_boundary=True,
+                        exact_parity=True)
     dy_ref = g[f"{prefix}/dy"]
     err = np.abs(np.asarray(dy) - dy_ref).max()
     assert err < ATOL, f"{prefix}: dY maxabs={err:.3e}"
@@ -105,3 +106,19 @@ def test_rhs_forced(project, request):
     _, _, dm = request.getfixturevalue(project)
     for k in range(len(g["times"])):
         _check_case(g, f"rhs{k}", dm, has_lake=True)
+
+
+@pytest.mark.parametrize("project", ["ccw", "qhh"])
+def test_fast_path_matches_exact(project, request):
+    """The production gather strategy (stacked single gather + dz-based head
+    differences) must match the exact-parity path to f64 re-association
+    round-off."""
+    g = request.getfixturevalue(f"golden_{project}")
+    _, _, dm = request.getfixturevalue(project)
+    ne, nr, ns, nl, ny = g.dims
+    fs = _fs_from_golden(g, "syn0", ne, nr)
+    y = jnp.asarray(g["syn0/y"])
+    dy_exact, _ = rhs_full(dm, fs, 0.0, y, exact_parity=True)
+    dy_fast, _ = rhs_full(dm, fs, 0.0, y, exact_parity=False)
+    d = np.abs(np.asarray(dy_exact) - np.asarray(dy_fast))
+    assert d.max() < 1e-9, d.max()

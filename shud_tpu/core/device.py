@@ -14,7 +14,8 @@ import numpy as np
 
 from shud_tpu.core.mesh import MeshData
 
-_STATIC_FIELDS = ("num_ele", "num_riv", "num_seg", "num_lake", "watershed_area")
+_STATIC_FIELDS = ("num_ele", "num_riv", "num_seg", "num_lake",
+                  "watershed_area", "roll_offsets")
 _ARRAY_FIELDS = tuple(
     f.name for f in dataclasses.fields(MeshData) if f.name not in _STATIC_FIELDS
 )
@@ -31,7 +32,11 @@ def to_device(md: MeshData, float_dtype=jnp.float64) -> MeshData:
     for name in _STATIC_FIELDS:
         kwargs[name] = getattr(md, name)
     for name in _ARRAY_FIELDS:
-        v = np.asarray(getattr(md, name))
+        raw = getattr(md, name)
+        if raw is None:
+            kwargs[name] = None
+            continue
+        v = np.asarray(raw)
         if np.issubdtype(v.dtype, np.floating):
             kwargs[name] = jnp.asarray(v, dtype=float_dtype)
         else:

@@ -151,6 +151,11 @@ class MeshData:
     lake_num_ele: np.ndarray  # [Nl] number of lake cells
 
     watershed_area: float = 0.0
+    # roll-gather tables (populated when the mesh's neighbour offsets
+    # concentrate into few distinct values, e.g. structured meshes):
+    # nbv[i,j] = roll(x, -offsets[k])[i] where k = roll_k_idx[i,j]
+    roll_offsets: tuple = None  # (K,) python ints (STATIC), or None
+    roll_k_idx: np.ndarray = None  # [Ne,3] int32 index into offsets
 
 
 def build_mesh(inp: ProjectInput) -> MeshData:
@@ -404,6 +409,19 @@ def build_mesh(inp: ProjectInput) -> MeshData:
                 lake_bathy_a[li, k:] = b[-1, 2]
                 lake_zmin[li] = b[0, 1]
 
+    # roll-gather precompute: if the neighbour offsets (nb - i) take few
+    # distinct values (structured meshes), gathers become K rolls + selects
+    # — the dominant RHS cost on TPU at large Ne
+    nabr0f = np.where(nabr1 > 0, nabr1 - 1, -1)
+    offsets = np.where(nabr0f >= 0, nabr0f - np.arange(ne)[:, None], 0)
+    uoff = np.unique(offsets[nabr0f >= 0])
+    roll_offsets = None
+    roll_k_idx = None
+    if 0 < len(uoff) <= 16:
+        roll_offsets = tuple(int(o) for o in uoff)
+        roll_k_idx = np.searchsorted(uoff, offsets).astype(np.int64)
+        roll_k_idx = np.where(nabr0f >= 0, roll_k_idx, 0)
+
     md = MeshData(
         num_ele=ne, num_riv=nr, num_seg=len(seg_riv), num_lake=num_lake,
         area=area, x=cx, y=cy, z_surf=z_surf, z_bottom=z_bottom, edge=edge,
@@ -440,6 +458,7 @@ def build_mesh(inp: ProjectInput) -> MeshData:
         lake_zmin=lake_zmin, lake_bathy_y=lake_bathy_y,
         lake_bathy_a=lake_bathy_a, lake_num_ele=lake_num_ele,
         watershed_area=float(area.sum()),
+        roll_offsets=roll_offsets, roll_k_idx=roll_k_idx,
     )
     return md
 

@@ -203,7 +203,20 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool,
         effkh_nb = cu.eff_kh[nb]
     else:
         stacked = jnp.stack([sf, gw, cu.eff_kh], axis=-1)  # [Ne, 3]
-        nbv = stacked[nb]  # [Ne, 3edges, 3fields] — single gather
+        if m.roll_offsets is not None:
+            # roll-gather: K rolls + one-hot selects replace the gather
+            # (structured meshes; see MeshData.roll_offsets)
+            k_idx = m.roll_k_idx  # [Ne,3]
+            nbv = jnp.zeros(
+                (stacked.shape[0], 3, 3), dtype=stacked.dtype
+            )
+            for k, off in enumerate(m.roll_offsets):
+                rolled = jnp.roll(stacked, -off, axis=0)
+                nbv = nbv + jnp.where(
+                    (k_idx == k)[:, :, None], rolled[:, None, :], 0.0
+                )
+        else:
+            nbv = stacked[nb]  # [Ne, 3edges, 3fields] — single gather
         nsf = jnp.maximum(nbv[:, :, 0], 0.0)
         gw_nb = nbv[:, :, 1]
         effkh_nb = nbv[:, :, 2]

@@ -78,6 +78,8 @@ class ShardedMesh:
     export_idx: np.ndarray  # [P, B] local slots each shard exports
     nb_shard: np.ndarray  # [P, Np, 3] owner shard of each neighbour (-1 local/none)
     nb_slot: np.ndarray  # [P, Np, 3] slot in export buffer (remote) or local slot
+    # lakes (replicated small tables + sharded per-edge lake ids)
+    lake: dict = dataclasses.field(default_factory=dict)
 
 
 _CELL_FIELDS = [
@@ -151,13 +153,13 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
                                  edge["dist2edge"])
     edge["avg_rough"] = np.where(edge["avg_rough"] == 0.0, 1.0,
                                  edge["avg_rough"])
-    # static neighbour values baked per edge
+    # static per-edge elevation differences (local-datum form shared with
+    # the single-chip fast path)
     has_nb = md.nabr >= 0
-    nb_old = np.where(has_nb, md.nabr, 0)
-    for name, src in [("nb_z_surf", md.z_surf), ("nb_z_bottom", md.z_bottom)]:
-        v = np.where(has_nb, src[nb_old], 0.0)
+    for name, src in [("dz_surf", md.edge_dz_surf),
+                      ("dz_bottom", md.edge_dz_bottom)]:
         buf = np.zeros((p, np_cells, 3))
-        buf[old_to_shard, old_to_slot] = v
+        buf[old_to_shard, old_to_slot] = src
         edge[name] = buf
     hasnb_buf = np.zeros((p, np_cells, 3), dtype=bool)
     hasnb_buf[old_to_shard, old_to_slot] = has_nb
@@ -199,6 +201,18 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
 
     riv = {f: np.asarray(getattr(md, f)) for f in _RIV_FIELDS}
 
+    lake = {}
+    if md.num_lake > 0:
+        lakenabr = np.full((p, np_cells, 3), -1, dtype=np.int64)
+        lakenabr[old_to_shard, old_to_slot] = md.lakenabr
+        lake = {
+            "lakenabr": lakenabr,
+            "zmin": np.asarray(md.lake_zmin),
+            "bathy_y": np.asarray(md.lake_bathy_y),
+            "bathy_a": np.asarray(md.lake_bathy_a),
+            "num_ele": np.asarray(md.lake_num_ele),
+        }
+
     return ShardedMesh(
         p=p, np_cells=np_cells, ns_seg=ns_seg, b_ghost=b_ghost,
         num_ele=ne, num_riv=md.num_riv, num_lake=md.num_lake,
@@ -206,6 +220,7 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
         old_to_slot=old_to_slot, valid=valid,
         cell=cell, edge=edge, seg=seg, riv=riv,
         export_idx=export_idx, nb_shard=nb_shard, nb_slot=nb_slot,
+        lake=lake,
     )
 
 

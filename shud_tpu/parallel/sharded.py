@@ -28,9 +28,11 @@ from shud_tpu.config import GRAV, MAXYSURF, ZERO
 from shud_tpu.core import physics as ph
 from shud_tpu.core.rhs import (
     CellUpdate,
+    _lake_toparea,
     et_flux,
     flux_infiltration,
     flux_recharge,
+    lake_cell_update,
     update_element,
 )
 from shud_tpu.parallel.partition import ShardedMesh
@@ -65,13 +67,15 @@ class _CellView:
             raise AttributeError(name) from e
 
 
-def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
-               ghost_all, fs_local, fs_riv, close_boundary: bool,
+def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
+               y_local, ghost_all, fs_local, fs_riv, close_boundary: bool,
                my_shard):
     """RHS for one shard's block.  ``ghost_all``: [P, B, 3] gathered exports
     of (sf, gw, effkh)."""
     sf, us, gw_raw = y_local["sf"], y_local["us"], y_local["gw"]
     riv_y = y_local["riv"]
+    lake_stg = y_local["lake"]
+    nl = lake_stg.shape[0]
     m = _CellView(cell)
     valid = cell["valid"]
 
@@ -93,6 +97,9 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
     )
 
     cu = update_element(m, sf, us, gw)
+    if nl > 0:
+        cu = lake_cell_update(m, cu)
+        is_lake_cell = m.i_lake > 0
     es, eu, eg, tu, tg, e_ic_out, _ = et_flux(
         m, fs_local["fs"], sf, us, gw, cu.satn
     )
@@ -100,6 +107,15 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
     q_infil = qi * fs_local["fs"].fu_surf
     q_exfil = qex * fs_local["fs"].fu_surf
     q_rech = flux_recharge(m, cu, us, gw) * fs_local["fs"].fu_sub
+    if nl > 0:
+        q_infil = jnp.where(is_lake_cell, 0.0, q_infil)
+        q_exfil = jnp.where(is_lake_cell, 0.0, q_exfil)
+        q_rech = jnp.where(is_lake_cell, 0.0, q_rech)
+        es = jnp.where(is_lake_cell, 0.0, es)
+        eu = jnp.where(is_lake_cell, 0.0, eu)
+        eg = jnp.where(is_lake_cell, 0.0, eg)
+        tu = jnp.where(is_lake_cell, 0.0, tu)
+        tg = jnp.where(is_lake_cell, 0.0, tg)
 
     # ---- neighbour values via halo ----
     nb_shard = halo_tables["nb_shard"]  # [Np,3]
@@ -118,22 +134,31 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
     gw_nb = nb_value(gw, 1)
     effkh_nb = nb_value(cu.eff_kh, 2)
 
-    isf = jnp.maximum(sf, 0.0)[:, :, None] if sf.ndim == 2 else jnp.maximum(sf, 0.0)[:, None]
     isf = jnp.maximum(sf, 0.0)[:, None]
     z = m.z_surf[:, None]
     B = edge["edge"]
-    zn = edge["nb_z_surf"]
-    zb_nb = edge["nb_z_bottom"]
     dist = edge["dist2nabor"]
 
-    dh = (isf + z) - (nsf + zn)
-    ymean = ph.avg_y_sf(z, isf, zn, nsf, m.depression[:, None])
+    dh = (isf - nsf) + edge["dz_surf"]
+    up1 = jnp.where(isf > m.depression[:, None], isf, 0.0)
+    up2 = jnp.where(nsf > m.depression[:, None], nsf, 0.0)
+    ymean = jnp.where(dh > 0.0, jnp.broadcast_to(up1, up2.shape), up2)
     ymean = jnp.minimum(ymean, MAXYSURF)
     s = dh / dist
     q_int = ph.manning_equation(ymean * B, edge["avg_rough"], ymean, s)
     q_int = jnp.where((s > 0) & (isf <= 0.0), 0.0, q_int)
     q_int = jnp.where((s < 0) & (nsf <= 0.0), 0.0, q_int)
     q_int = jnp.where(ymean <= 0.0, 0.0, q_int)
+
+    # lake-bank branches (weir + darcy against the replicated lake stage)
+    if nl > 0:
+        lakenb = lake_tbl["lakenabr"]  # [Np,3] 0-based, -1 none
+        has_lk = lakenb >= 0
+        lki = jnp.where(has_lk, lakenb, 0)
+        lake_nsf = jnp.maximum(lake_stg[lki], 0.0)
+        q_surf_lake = ph.weir_flow_jtoi(
+            lake_tbl["zmin"][lki], lake_nsf, z, isf, z, 0.6, B, 0.01,
+        )
     if close_boundary:
         q_bnd = jnp.zeros_like(B)
     else:
@@ -141,11 +166,15 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
         isf5 = jnp.cbrt(jnp.maximum(isf, 1e-30) ** 5)
         qb = jnp.sqrt(jnp.maximum(sb, 1e-30)) * isf5 * B / m.rough[:, None]
         q_bnd = jnp.where((isf > m.depression[:, None]) & (sb > 0.0), qb, 0.0)
-    q_esurf = jnp.where(has_nb, q_int, q_bnd)
+    if nl > 0:
+        q_esurf = jnp.where(has_lk, q_surf_lake,
+                            jnp.where(has_nb, q_int, q_bnd))
+    else:
+        q_esurf = jnp.where(has_nb, q_int, q_bnd)
 
     gw_col = gw[:, None]
     zb = m.z_bottom[:, None]
-    dh_s = (gw_col + zb) - (gw_nb + zb_nb)
+    dh_s = (gw_col - gw_nb) + edge["dz_bottom"]
     ymean_s = ph.avg_y_gw(gw_col, gw_nb)
     grad_s = dh_s / dist
     kmean = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
@@ -162,7 +191,27 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
             (gw_col > m.depression[:, None] * 10.0) & (grad_b > 0.0),
             cu.eff_kh[:, None] * grad_b, 0.0,
         )
-    q_esub = jnp.where(has_nb, q_sub_int, q_sub_bnd) * fs_local["fs"].fu_sub[:, None]
+    if nl > 0:
+        lake_bot = lake_tbl["bathy_y"][lki, 0]
+        dh_lk = (gw_col + zb) - (lake_stg[lki] + lake_bot)
+        ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lki])
+        kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
+        q_sub_lake = kmean_lk * (dh_lk / dist) * ymean_lk * B
+        q_sub_lake = jnp.where(
+            ((dh_lk > 0.0) & (gw_col <= 0.02))
+            | ((dh_lk < 0.0) & (lake_stg[lki] <= 0.02)),
+            0.0, q_sub_lake,
+        )
+        q_esub0 = jnp.where(has_lk, q_sub_lake,
+                            jnp.where(has_nb, q_sub_int, q_sub_bnd))
+    else:
+        q_esub0 = jnp.where(has_nb, q_sub_int, q_sub_bnd)
+    q_esub = q_esub0 * fs_local["fs"].fu_sub[:, None]
+    if nl > 0:
+        q_lake_surf_e = jnp.where(has_lk & ~is_lake_cell[:, None], q_esurf, 0.0)
+        q_lake_sub_e = jnp.where(has_lk & ~is_lake_cell[:, None], q_esub0, 0.0)
+        q_esurf = jnp.where(is_lake_cell[:, None], 0.0, q_esurf)
+        q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
 
     # ---- segments (local elements, replicated rivers) ----
     se = seg["ele_slot"]
@@ -232,6 +281,10 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
     dgw = dgw + jnp.where(m.i_ss < 0, fs_local["ele_qss"] / area, 0.0)
     dus = dus / m.sy
     dgw = dgw / m.sy
+    if nl > 0:
+        dsf = jnp.where(is_lake_cell, 0.0, dsf)
+        dus = jnp.where(is_lake_cell, 0.0, dus)
+        dgw = jnp.where(is_lake_cell, 0.0, dgw)
     dsf = jnp.where(valid, dsf, 0.0)
     dus = jnp.where(valid, dus, 0.0)
     dgw = jnp.where(valid, dgw, 0.0)
@@ -243,8 +296,45 @@ def _local_rhs(sm_static, cell, edge, seg, riv, halo_tables, t, y_local,
     driv = ph.fun_da_to_dy(d_area, r_topw, riv["riv_bank_slope"])
     driv = jnp.where(riv["riv_bc"] > 0, 0.0, driv)
 
-    return {"sf": dsf, "us": dus, "gw": dgw, "riv": driv,
-            "lake": jnp.zeros_like(y_local["lake"])}
+    # ---- lake stage (replicated; psum over shards, MD_f.cpp:180-191) ----
+    if nl > 0:
+        lk_cell = jnp.where(is_lake_cell, m.i_lake - 1, 0)
+        inv_nele = 1.0 / jnp.maximum(
+            lake_tbl["num_ele"].astype(dsf.dtype), 1.0
+        )
+        q_lake_evap = jax.lax.psum(segment_sum(
+            jnp.where(is_lake_cell & valid,
+                      fs.pot_evap * inv_nele[lk_cell], 0.0),
+            lk_cell, num_segments=nl), AXIS)
+        q_lake_prcp = jax.lax.psum(segment_sum(
+            jnp.where(is_lake_cell & valid,
+                      fs.prcp * inv_nele[lk_cell], 0.0),
+            lk_cell, num_segments=nl), AXIS)
+        q_lake_evap = jnp.maximum(
+            0.0, jnp.minimum(q_lake_evap, q_lake_prcp + lake_stg)
+        )
+        q_lake_surf = jax.lax.psum(segment_sum(
+            q_lake_surf_e.ravel(), lki.ravel(), num_segments=nl), AXIS)
+        q_lake_sub = jax.lax.psum(segment_sum(
+            q_lake_sub_e.ravel(), lki.ravel(), num_segments=nl), AXIS)
+        tl = jnp.where(to_lake, riv["riv_to_lake"], 0)
+        q_lake_rivin = segment_sum(
+            jnp.where(to_lake, q_riv_down, 0.0), tl, num_segments=nl
+        )
+
+        class _LakeView:
+            lake_zmin = lake_tbl["zmin"]
+            lake_bathy_y = lake_tbl["bathy_y"]
+            lake_bathy_a = lake_tbl["bathy_a"]
+
+        lake_area = _lake_toparea(_LakeView, lake_stg)
+        dlake = q_lake_prcp - q_lake_evap + (
+            q_lake_rivin + q_lake_sub + q_lake_surf
+        ) / lake_area
+    else:
+        dlake = jnp.zeros_like(y_local["lake"])
+
+    return {"sf": dsf, "us": dus, "gw": dgw, "riv": driv, "lake": dlake}
 
 
 def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
@@ -254,7 +344,6 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
     {sf,us,gw:[P,Np], riv:[Nr], lake:[Nl]} and returns dY in the same
     layout; cell blocks are sharded over the device mesh axis, river/lake
     replicated."""
-    assert sm.num_lake == 0, "lake sharding lands in a later revision"
     if devices is None:
         devices = np.array(jax.devices()[: sm.p])
     mesh = Mesh(devices, (AXIS,))
@@ -289,6 +378,15 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
         "nb_slot": jnp.asarray(sm.nb_slot, dtype=jnp.int32),
         "export_idx": jnp.asarray(sm.export_idx, dtype=jnp.int32),
     }
+    lake_tbl = {}
+    if sm.num_lake > 0:
+        lake_tbl = {
+            "lakenabr": jnp.asarray(sm.lake["lakenabr"], dtype=jnp.int32),
+            "zmin": jnp.asarray(sm.lake["zmin"], dtype=f64),
+            "bathy_y": jnp.asarray(sm.lake["bathy_y"], dtype=f64),
+            "bathy_a": jnp.asarray(sm.lake["bathy_a"], dtype=f64),
+            "num_ele": jnp.asarray(sm.lake["num_ele"], dtype=jnp.int32),
+        }
 
     shard_specs = {
         "cell": {k: P(AXIS) for k in cell},
@@ -297,6 +395,8 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
         "riv": {k: P() for k in riv},
         "halo": {"nb_shard": P(AXIS), "nb_slot": P(AXIS),
                  "export_idx": P(AXIS)},
+        "lake": {k: (P(AXIS) if k == "lakenabr" else P())
+                 for k in lake_tbl},
     }
     y_spec = {"sf": P(AXIS), "us": P(AXIS), "gw": P(AXIS),
               "riv": P(), "lake": P()}
@@ -305,14 +405,19 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
     from jax.experimental.shard_map import shard_map
 
     def rhs_fn(t, y, params):
-        (cellp, edgep, segp, rivp, halop, fs_cell, fs_rivp) = params
+        (cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp) = params
 
-        def body(cell_l, edge_l, seg_l, riv_l, halo_l, fsc_l, fsr_l, y_l, t_l):
+        def body(cell_l, edge_l, seg_l, riv_l, halo_l, lake_l, fsc_l, fsr_l,
+                 y_l, t_l):
             # strip the leading size-1 shard axis from sharded blocks
             cell_1 = {k: v[0] for k, v in cell_l.items()}
             edge_1 = {k: v[0] for k, v in edge_l.items()}
             seg_1 = {k: v[0] for k, v in seg_l.items()}
             halo_1 = {k: v[0] for k, v in halo_l.items()}
+            lake_1 = {
+                k: (v[0] if k == "lakenabr" else v)
+                for k, v in lake_l.items()
+            }
             y_1 = {
                 "sf": y_l["sf"][0], "us": y_l["us"][0], "gw": y_l["gw"][0],
                 "riv": y_l["riv"], "lake": y_l["lake"],
@@ -346,8 +451,8 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
                 "ele_qbc": fsc_1["ele_qbc"], "ele_qss": fsc_1["ele_qss"],
             }
             dy = _local_rhs(
-                None, cell_1, edge_1, seg_1, riv_l, halo_1, t_l, y_1,
-                ghost_all, fs_local, fsr_l, close_boundary,
+                None, cell_1, edge_1, seg_1, riv_l, lake_1, halo_1, t_l,
+                y_1, ghost_all, fs_local, fsr_l, close_boundary,
                 jax.lax.axis_index(AXIS),
             )
             return {
@@ -361,14 +466,15 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
             in_specs=(
                 shard_specs["cell"], shard_specs["edge"], shard_specs["seg"],
                 shard_specs["riv"], shard_specs["halo"],
+                shard_specs["lake"],
                 {k: fs_cell_spec for k in fs_cell},
                 {"riv_ybc": P(), "riv_qbc": P()},
                 y_spec, P(),
             ),
             out_specs=y_spec,
             check_rep=False,
-        )(cellp, edgep, segp, rivp, halop, fs_cell, fs_rivp, y,
+        )(cellp, edgep, segp, rivp, halop, lake_tbl, fs_cell, fs_rivp, y,
           jnp.asarray(t))
 
-    params = (cell, edge, seg, riv, halo)
+    params = (cell, edge, seg, riv, halo, lake_tbl)
     return mesh, rhs_fn, params

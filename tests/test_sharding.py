@@ -73,3 +73,39 @@ def test_dryrun_multichip(eight_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_rhs_equivalence_lakes(qhh, eight_devices):
+    """Lake watershed (qhh): the domain-decomposed RHS (lake cells sharded,
+    lake stage replicated, per-lake reductions psum'd) matches the
+    single-device RHS."""
+    inp, md, dm = qhh
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
+    rng = np.random.default_rng(7)
+    sf = rng.uniform(-0.001, 0.02, ne)
+    us = rng.uniform(0, 0.5, ne) * md.aq_depth
+    gw = rng.uniform(0, 1.2, ne) * md.aq_depth
+    rv = rng.uniform(0, 2.0, nr)
+    lk = rng.uniform(0, 5.0, nl)
+    y = np.concatenate([sf, us, gw, rv, lk])
+    fsargs = _random_fs(rng, ne, nr)
+    fs = ForcingSlice(**{k: jnp.asarray(v) for k, v in fsargs.items()})
+    dy_ref = np.asarray(rhs(dm, fs, 0.0, jnp.asarray(y)))
+
+    sm = build_sharded_mesh(md, 8)
+    mesh, rhs_fn, params = make_sharded_rhs(sm)
+    ys = {k: jnp.asarray(v) for k, v in shard_state(sm, y).items()}
+
+    def blocks(v):
+        buf = np.zeros((sm.p, sm.np_cells))
+        buf[sm.old_to_shard, sm.old_to_slot] = v
+        return jnp.asarray(buf)
+
+    fs_cell = {k: blocks(fsargs[k]) for k in (
+        "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
+        "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss",
+    )}
+    fs_riv = {"riv_ybc": jnp.zeros(nr), "riv_qbc": jnp.zeros(nr)}
+    dy_sh = rhs_fn(0.0, ys, params + (fs_cell, fs_riv))
+    flat = unshard_state(sm, {k: np.asarray(v) for k, v in dy_sh.items()})
+    assert np.abs(flat - dy_ref).max() < 1e-10

@@ -73,8 +73,11 @@ def cell_forcing(
     lapse_ok = (zt != NA_VALUE) & (m.z_surf != NA_VALUE)
     temp = jnp.where(lapse_ok, t0 + (zt - m.z_surf) * DTDZ, t0) + cal.c_temp
 
-    lai = lai_vals[m.i_lc - 1] * cal.c_lai
-    mf = mf_vals[m.i_mf - 1] * cal.c_mf / 1440.0
+    # clamp column lookups: some shipped projects (heihe) have more
+    # landcover classes than LAI columns — the reference reads out of
+    # bounds there (UB); we clamp to the last column instead
+    lai = lai_vals[jnp.clip(m.i_lc - 1, 0, lai_vals.shape[0] - 1)] * cal.c_lai
+    mf = mf_vals[jnp.clip(m.i_mf - 1, 0, mf_vals.shape[0] - 1)] * cal.c_mf / 1440.0
 
     dswrf_h = forc_vals[ifc, 4]
     if terrain_radiation:

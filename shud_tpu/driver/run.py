@@ -136,6 +136,8 @@ def run_project(
     **overrides,
 ):
     """Run a full simulation — equivalent of ``./shud <project>``."""
+    if end_day is not None:
+        overrides.setdefault("day_end", end_day)
     sim = Simulation.create(project, base=base, **overrides)
     if outpath:
         sim.inp.paths.outpath = outpath

@@ -127,6 +127,8 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
 
     if float_dtype is None:
         float_dtype = jnp.float64
+    if end_day is not None:
+        overrides.setdefault("day_end", end_day)
     sim = FusedSimulation.create(project, base=base, float_dtype=float_dtype,
                                  **overrides)
     if outpath:

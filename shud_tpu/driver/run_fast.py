@@ -56,6 +56,23 @@ class IntervalWriter:
                 )
                 self.channels.append((pc, key, is_flux, riv))
 
+        # optional NetCDF (UGRID) mirrors (OUTPUT_MODE NETCDF|BOTH)
+        self.nc = None
+        self.nc_riv = None
+        if cs.output_mode in ("NETCDF", "BOTH"):
+            from shud_tpu.io.ncoutput import UgridSink
+
+            self.nc = UgridSink(
+                os.path.join(paths.outpath, f"{paths.project}.ele.nc"),
+                md, "ele", sim.inp.nodes[:, 1:4], sim.inp.tri[:, 1:4],
+                start,
+            )
+            self.nc_riv = UgridSink(
+                os.path.join(paths.outpath, f"{paths.project}.riv.nc"),
+                md, "riv", start_yyyymmdd=start,
+            )
+            if cs.output_mode == "NETCDF":
+                b = False  # LEGACY writers off in pure-NETCDF mode
         ne, nr = md.num_ele, md.num_riv
         ch("eleyic", cs.dt_ye_ic, "y_ic", False, ne)
         ch("eleysnow", cs.dt_ye_snow, "y_snow", False, ne)
@@ -84,6 +101,14 @@ class IntervalWriter:
         ch("rivqsub", cs.dt_Qr_sub, "q_riv_sub", True, nr, riv=True)
         ch("rivqsurf", cs.dt_Qr_surf, "q_riv_surf", True, nr, riv=True)
         ch("rivystage", cs.dt_yr_stage, "y_riv", False, nr, riv=True)
+        if self.nc is not None:
+            for _pc, key, _fx, riv in self.channels:
+                if riv == "lake":
+                    continue
+                sink = self.nc_riv if riv else self.nc
+                name = key
+                if name not in sink.vars:
+                    sink.add_channel(name)
         nl = md.num_lake
         if nl > 0:
             ch("lakystage", cs.dt_lake, "y_lake", False, nl, riv="lake")
@@ -114,10 +139,17 @@ class IntervalWriter:
                 pc.fa.write(
                     f"{t_q:.1f}\t" + "\t".join(f"{v:e}" for v in out) + "\t\n"
                 )
+            if self.nc is not None and riv != "lake":
+                sink = self.nc_riv if riv else self.nc
+                full = np.asarray(vals) * pc.tau
+                sink.write(key, t_q, full)
 
     def close(self):
         for pc, *_ in self.channels:
             pc.close()
+        if self.nc is not None:
+            self.nc.close()
+            self.nc_riv.close()
 
 
 def run_project_fast(project: str, base: str = ".", end_day=None,

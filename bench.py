@@ -72,9 +72,11 @@ def main():
     sim = FusedSimulation.create("ccw", base=base, float_dtype=fdtype)
     ne = sim.md.num_ele
 
-    # warmup (compile + first simulated day)
+    # warmup (compile + first simulated day); synchronisation must be a
+    # HOST FETCH — on the axon backend block_until_ready returns before the
+    # computation finishes
     out = sim.advance_interval(1440.0)
-    jax.block_until_ready(out[0])
+    _ = int(sim.bdf.nfe)
 
     # The shared TPU tunnel shows intermittent 10-60x contention stalls;
     # take the best of a few repeats to measure the machine, not the noise.
@@ -85,9 +87,8 @@ def main():
         t0 = time.time()
         for _ in range(N_DAYS):
             out = sim.advance_interval(1440.0)
-        jax.block_until_ready(out[0])
+        nfe = int(sim.bdf.nfe) - nfe0  # host fetch = true sync
         wall = time.time() - t0
-        nfe = int(sim.bdf.nfe) - nfe0
         best = max(best, ne * nfe / wall)
 
     print(json.dumps({

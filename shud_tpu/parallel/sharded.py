@@ -402,7 +402,14 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
               "riv": P(), "lake": P()}
     fs_cell_spec = P(AXIS)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, **kw):  # jax>=0.8 renamed check_rep -> check_vma
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _shard_map(f, **kw)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def rhs_fn(t, y, params):
         (cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp) = params

@@ -41,12 +41,18 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    calib = None
+    if args.calib:
+        from shud_tpu.io.project import read_calib
+
+        calib = read_calib(args.calib)
+
     if args.split:
         from shud_tpu.driver.uncoupled import run_project_split
 
         run_project_split(args.project, base=args.base,
                           end_day=args.end_day, verbose=not args.quiet,
-                          outpath=args.output)
+                          outpath=args.output, calib=calib)
     elif args.per_window or args.dummy:
         from shud_tpu.driver.run import run_project
 
@@ -57,6 +63,7 @@ def main(argv=None):
             verbose=not args.quiet,
             dummy=args.dummy,
             outpath=args.output,
+            calib=calib,
         )
     else:
         import jax.numpy as jnp
@@ -70,6 +77,7 @@ def main(argv=None):
             verbose=not args.quiet,
             float_dtype=jnp.float32 if args.f32 else jnp.float64,
             outpath=args.output,
+            calib=calib,
         )
 
 

@@ -178,11 +178,33 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     )
     tlog = TimeLog(os.path.join(paths.outpath, f"{paths.project}.time.csv"))
     from shud_tpu.diag.waterbalance import WaterBalance
+    from shud_tpu.io.project import write_calib
 
     wb = WaterBalance(
         md, os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv")
     )
+    # per-element residual channel, opt-in like the reference's
+    # SHUD_WB_DIAG=1 (WaterBalanceDiag.cpp:258-370)
+    wb_ele = None
+    if os.environ.get("SHUD_WB_DIAG", "0") not in ("0", ""):
+        wb_ele = PrintCtrl(
+            os.path.join(paths.outpath, f"{paths.project}.elevwbres"),
+            sim.inp.forc.start_yyyymmdd, int(interval), False, ne,
+        )
 
+    write_calib(sim.inp.calib,
+                os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
+    _y0 = np.asarray(sim.bdf.y)
+    write_restart(
+        os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
+        np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
+        _y0[:ne], _y0[ne:2*ne], _y0[2*ne:3*ne], _y0[3*ne:3*ne+nr],
+        _y0[3*ne+nr:] if md.num_lake else None,
+    )
+
+    from shud_tpu.utils.timectx import TimeContext
+
+    tc = TimeContext(sim.inp.forc.start_yyyymmdd)
     wall0 = time.time()
     cpu0 = time.process_time()
     last_nfe = 0
@@ -214,10 +236,13 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
                     buckets1=(np.asarray(sim.buckets.ic_stg),
                               np.asarray(sim.buckets.snow)),
                     **quad_kwargs)
+        if wb_ele is not None:
+            wb_ele.push(sim.t, wb.element_residuals(
+                t0, sim.t, y0, np.asarray(sim.bdf.y), mean_e))
         nfe = int(sim.bdf.nfe)
         perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
         if verbose:
-            print(f"{sim.t/1440.0:8.2f} day\t{perc:6.2f}%\t"
+            print(f"{tc.iso(sim.t)}\t{sim.t/1440.0:8.2f} day\t{perc:6.2f}%\t"
                   f"{time.time()-wall0:8.2f} s\t{nfe - last_nfe}")
         tlog.write(sim.t, perc, time.process_time() - cpu0,
                    time.time() - wall0, nfe - last_nfe)
@@ -236,7 +261,13 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     flood.close()
     tlog.close()
     wb.close()
+    if wb_ele is not None:
+        wb_ele.close()
     if verbose:
-        print(f"\nNFE total: {int(sim.bdf.nfe)}; wall "
+        # final solver counters (the reference's PrintFinalStats,
+        # cvode_config.cpp:33: nst/nfe/netf/ncfn)
+        b = sim.bdf
+        print(f"\nFinal stats: nsteps={int(b.nsteps)} nfe={int(b.nfe)} "
+              f"netf={int(b.nfails)} ncfn={int(b.nnifails)}; wall "
               f"{time.time()-wall0:.1f} s")
     return sim

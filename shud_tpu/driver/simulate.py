@@ -98,8 +98,10 @@ class Simulation:
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
-               **control_overrides):
+               calib=None, **control_overrides):
         inp = load_project(project, base=base)
+        if calib is not None:
+            inp.calib = calib
         for k, v in control_overrides.items():
             setattr(inp.control, k, v)
         from shud_tpu.io.validate import check_input

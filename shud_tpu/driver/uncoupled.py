@@ -241,7 +241,7 @@ def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
 
 
 def run_project_split(project: str, base: str = ".", end_day=None,
-                      verbose=True, outpath=None):
+                      verbose=True, outpath=None, calib=None):
     """Operator-split full run (the reference's ``-g`` driver loop,
     shud.cpp:171-357): per window, a Gauss-Seidel sweep of the four
     sub-solvers; daily state outputs."""
@@ -253,7 +253,7 @@ def run_project_split(project: str, base: str = ".", end_day=None,
     from shud_tpu.driver.simulate import Simulation
     from shud_tpu.io.output import PrintCtrl, TimeLog
 
-    sim = Simulation.create(project, base=base)
+    sim = Simulation.create(project, base=base, calib=calib)
     if outpath:
         sim.inp.paths.outpath = outpath
     cs = sim.inp.control

@@ -69,11 +69,24 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
     return fs_cell, fs_riv, out.state
 
 
+# make_sharded_rhs returns a fresh closure each call; reuse it per ShardedMesh
+# so solve_to's jit cache hits across windows (stable function identity).
+_RHS_CACHE: dict[int, tuple] = {}
+
+
+def _cached_sharded_rhs(sm: ShardedMesh):
+    key = id(sm)
+    if key not in _RHS_CACHE:
+        _RHS_CACHE.clear()  # keep at most one mesh alive (avoid id reuse bugs)
+        _RHS_CACHE[key] = (sm, make_sharded_rhs(sm))
+    return _RHS_CACHE[key][1]
+
+
 def sharded_window_step(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                         ys: dict, t0: float, tout: float,
                         cfg: SolverConfig | None = None):
     """One solver window on the device mesh; returns the final BDFState."""
-    mesh, rhs_fn, params = make_sharded_rhs(sm)
+    mesh, rhs_fn, params = _cached_sharded_rhs(sm)
     cell_sh = NamedSharding(mesh, P(AXIS))
     rep_sh = NamedSharding(mesh, P())
 

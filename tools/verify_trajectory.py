@@ -51,6 +51,13 @@ def main():
     y_adapt = np.asarray(sim.bdf.y)
 
     # --- fixed-step truth at two resolutions + split mode ---
+    # NB: f must have stable identity — it is a static argnum of
+    # fixed_bdf1's jit; a per-window closure recompiles every window and
+    # exhausts the LLVM JIT's mmap budget.
+    def f(tt, yy, p):
+        mesh, slc = p
+        return rhs(mesh, slc, tt, yy)
+
     def run_fixed(h):
         s2 = Simulation.create("ccw", base="/root/reference")
         dm = s2.dm
@@ -59,11 +66,6 @@ def main():
         while t < t_end - 1e-9:
             tout = min(t + 10.0, t_end)
             fs, cf = s2.forcing_slice(tout)
-
-            def f(tt, yy, p):
-                mesh, slc = p
-                return rhs(mesh, slc, tt, yy)
-
             _, y = fixed_bdf1(f, y, t, (dm, fs), h, int(round((tout - t) / h)),
                               2)
             t = tout

@@ -34,6 +34,10 @@ def main(argv=None):
                         "lax.scan driver")
     p.add_argument("--f32", action="store_true",
                    help="reduced-precision fast path (TPU)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from a full binary checkpoint (.ckpt.npz)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -66,19 +70,31 @@ def main(argv=None):
             calib=calib,
         )
     else:
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
         from shud_tpu.driver.run_fast import run_project_fast
+        from shud_tpu.utils.errors import ShudError
 
-        run_project_fast(
-            args.project,
-            base=args.base,
-            end_day=args.end_day,
-            verbose=not args.quiet,
-            float_dtype=jnp.float32 if args.f32 else jnp.float64,
-            outpath=args.output,
-            calib=calib,
-        )
+        prof = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
+        try:
+            with prof:
+                run_project_fast(
+                    args.project,
+                    base=args.base,
+                    end_day=args.end_day,
+                    verbose=not args.quiet,
+                    float_dtype=jnp.float32 if args.f32 else jnp.float64,
+                    outpath=args.output,
+                    calib=calib,
+                    resume=args.resume,
+                )
+        except ShudError as e:  # reference myexit: typed exit codes
+            print(f"FATAL: {e}", flush=True)
+            raise SystemExit(e.code)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ import time
 import numpy as np
 
 from shud_tpu.driver.fused import FusedSimulation
+from shud_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 from shud_tpu.io.output import FloodAlert, PrintCtrl, TimeLog, write_restart
+from shud_tpu.utils.errors import NanError
 
 
 class IntervalWriter:
@@ -154,7 +156,7 @@ class IntervalWriter:
 
 def run_project_fast(project: str, base: str = ".", end_day=None,
                      float_dtype=None, verbose=True, outpath=None,
-                     **overrides):
+                     resume=None, **overrides):
     import jax.numpy as jnp
 
     if float_dtype is None:
@@ -165,6 +167,10 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
                                  **overrides)
     if outpath:
         sim.inp.paths.outpath = outpath
+    if resume:
+        load_checkpoint(resume, sim)
+        if verbose:
+            print(f"resumed from {resume} at t={sim.t/1440.0:.2f} days")
     cs = sim.inp.control
     paths = sim.inp.paths
     md = sim.md
@@ -207,7 +213,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     tc = TimeContext(sim.inp.forc.start_yyyymmdd)
     wall0 = time.time()
     cpu0 = time.process_time()
-    last_nfe = 0
+    last_nfe = int(sim.bdf.nfe)  # nonzero after --resume
     win = cs.solver_step
     while sim.t < t_end - 1e-9:
         this_int = min(interval, t_end - sim.t)
@@ -250,12 +256,20 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         # restart snapshot (UpdateICStep-aligned; intervals are multiples)
         if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
             y = np.asarray(sim.bdf.y)
+            if not np.isfinite(y).all():
+                bad = int(np.flatnonzero(~np.isfinite(y))[0])
+                raise NanError(
+                    f"non-finite state at t={sim.t:.1f} min (index {bad})"
+                )
             write_restart(
                 os.path.join(paths.outpath, f"{paths.project}.cfg.ic.update"),
                 sim.t,
                 np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
                 y[:ne], y[ne:2*ne], y[2*ne:3*ne], y[3*ne:3*ne+nr],
                 y[3*ne+nr:] if md.num_lake else None,
+            )
+            save_checkpoint(
+                os.path.join(paths.outpath, f"{paths.project}.ckpt.npz"), sim
             )
     writer.close()
     flood.close()

@@ -34,6 +34,11 @@ def main(argv=None):
                         "lax.scan driver")
     p.add_argument("--f32", action="store_true",
                    help="reduced-precision fast path (TPU)")
+    p.add_argument("--pallas", dest="pallas", action="store_true",
+                   default=None,
+                   help="force the fused Pallas edge kernel (f32 only)")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false",
+                   help="disable the fused Pallas edge kernel")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a full binary checkpoint (.ckpt.npz)")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -91,6 +96,7 @@ def main(argv=None):
                     outpath=args.output,
                     calib=calib,
                     resume=args.resume,
+                    pallas_edges="auto" if args.pallas is None else args.pallas,
                 )
         except ShudError as e:  # reference myexit: typed exit codes
             print(f"FATAL: {e}", flush=True)

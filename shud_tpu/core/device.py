@@ -36,6 +36,11 @@ def to_device(md: MeshData, float_dtype=jnp.float64) -> MeshData:
         if raw is None:
             kwargs[name] = None
             continue
+        if name == "edge_blocks":
+            from shud_tpu.core.pallas_edge import edge_blocks_to_device
+
+            kwargs[name] = edge_blocks_to_device(raw)
+            continue
         v = np.asarray(raw)
         if np.issubdtype(v.dtype, np.floating):
             kwargs[name] = jnp.asarray(v, dtype=float_dtype)

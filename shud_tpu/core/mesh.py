@@ -156,6 +156,9 @@ class MeshData:
     # nbv[i,j] = roll(x, -offsets[k])[i] where k = roll_k_idx[i,j]
     roll_offsets: tuple = None  # (K,) python ints (STATIC), or None
     roll_k_idx: np.ndarray = None  # [Ne,3] int32 index into offsets
+    # blocked tables for the fused Pallas edge kernel (core/pallas_edge.py);
+    # built on demand by enable_pallas_edges(); None = use XLA gather/roll
+    edge_blocks: object = None
 
 
 def build_mesh(inp: ProjectInput) -> MeshData:

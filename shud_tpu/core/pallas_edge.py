@@ -1,0 +1,590 @@
+"""Fused Pallas TPU kernel for the lateral edge-flux stencil.
+
+This is the TPU-native replacement for the reference's per-element 3-edge
+loops ``fun_Ele_surface`` / ``fun_Ele_sub`` (MD_ElementFlux.cpp:35-156): one
+kernel performs the neighbour gather *and* the full diffusive-wave surface +
+Darcy subsurface flux law, writing per-edge discharges without ever
+materialising gathered neighbour fields in HBM.
+
+Why a kernel at all: XLA lowers the unstructured neighbour gather
+(``stacked[nabr]``) to a generic scatter/gather loop that is ~15-40x off
+HBM-bandwidth speed-of-light at 1M+ cells.  The mesh, however, is static and
+(after locality ordering) *banded*: every neighbour of a cell in block ``b``
+lives in blocks ``b-1..b+1``.  The kernel exploits this:
+
+* each grid step ``b`` DMAs three consecutive cell blocks (prev/self/next) of
+  the dynamic fields (sf, gw, effKH) into VMEM — purely sequential HBM
+  traffic, no gather;
+* the per-edge neighbour lookup becomes an in-VMEM gather, implemented as a
+  sweep over 128-lane window chunks using Mosaic's exact lane-wise
+  ``dynamic_gather`` (``jnp.take_along_axis`` along the lane axis) + select.
+  Cost per edge is O(window/128) cheap VPU ops instead of a random HBM access;
+* the flux laws are evaluated in-register and only the two per-edge discharge
+  arrays leave VMEM.
+
+Bit-exactness: the gather is exact (index select, no arithmetic); the flux
+math mirrors ``shud_tpu.core.rhs.edge_fluxes``'s fast path op-for-op, so CPU
+interpret mode matches the XLA path bitwise and the TPU build differs only in
+transcendental rounding (sqrt/cbrt), ~1 ulp.
+
+The kernel covers the interior-neighbour and open-boundary branches; the
+lake-bank branch (a handful of cells, MD_ElementFlux.cpp:46-53,122-137) is
+computed by the caller in XLA and merged by mask, preserving the reference's
+branch priority (lake > neighbour > boundary).
+
+Requires a cell numbering with graph bandwidth <= block size (structured
+refinements and RCB/BFS-ordered meshes qualify; ``locality_order`` in
+``shud_tpu.parallel.partition`` produces one).  f32 only (Mosaic has no f64);
+head-difference accuracy comes from the f64-precomputed edge dz arrays, the
+same local-datum trick the XLA f32 fast path uses (docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shud_tpu.config import MAXYSURF
+
+_TINY = 1.0e-30  # matches physics._TINY
+
+
+# ---------------------------------------------------------------------------
+# preprocessing: blocked static geometry
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EdgeBlocks:
+    """Static per-edge data in TPU-blocked layout.
+
+    Cells are grouped into ``nb`` contiguous blocks of ``blk`` (multiple of
+    128); block ``b`` reads dynamic fields of blocks ``b-1, b, b+1`` (clamped)
+    — preprocessing asserts every neighbour falls in that window.
+
+    Per-edge arrays are ``[nb, 3*bc, 128]`` with row ``j*bc + (p//128)`` and
+    lane ``p%128`` holding edge slot ``j`` of within-block cell ``p``
+    (slot-major rows).  ``bc = blk // 128``.
+    """
+
+    blk: int
+    nb: int
+    bc: int
+    num_ele: int  # unpadded
+
+    nbq: np.ndarray        # [nb,3bc,128] i32 window-local neighbour index
+    edge: np.ndarray       # [nb,3bc,128] f32 edge length
+    dist: np.ndarray       # [nb,3bc,128] f32 dist2nabor (1.0 on non-interior)
+    rough_avg: np.ndarray  # [nb,3bc,128] f32 avg Manning roughness
+    dzs: np.ndarray        # [nb,3bc,128] f32 z_surf_i - z_surf_nb
+    dzb: np.ndarray        # [nb,3bc,128] f32 z_bottom_i - z_bottom_nb
+    m_int: np.ndarray      # [nb,3bc,128] i32 1 = interior-neighbour edge
+    m_bnd: np.ndarray      # [nb,3bc,128] i32 1 = open-boundary edge
+    dist2edge: np.ndarray  # [nb,3bc,128] f32 centroid-to-edge distance
+    dep: np.ndarray        # [nb,bc,128]  f32 depression threshold
+    rough_cell: np.ndarray # [nb,bc,128]  f32 cell Manning roughness
+
+
+jax.tree_util.register_dataclass(
+    EdgeBlocks,
+    data_fields=["nbq", "edge", "dist", "rough_avg", "dzs", "dzb", "m_int",
+                 "m_bnd", "dist2edge", "dep", "rough_cell"],
+    meta_fields=["blk", "nb", "bc", "num_ele"],
+)
+
+
+def graph_bandwidth(nabr: np.ndarray) -> int:
+    """Max |neighbour - self| over real edges of a [Ne,3] adjacency."""
+    ne = nabr.shape[0]
+    has = nabr >= 0
+    if not has.any():
+        return 0
+    d = np.abs(nabr - np.arange(ne)[:, None])
+    return int(d[has].max())
+
+
+def build_edge_blocks(md, min_blk: int = 512,
+                      max_blk: int = 8192) -> "EdgeBlocks | None":
+    """Blocked static tables for the Pallas edge kernel, or None when the
+    mesh's numbering bandwidth exceeds *max_blk* (caller falls back to the
+    XLA gather path; reorder with ``locality_order`` first for large
+    unstructured meshes)."""
+    ne = md.num_ele
+    nabr = np.asarray(md.nabr)
+    band = graph_bandwidth(nabr)
+    # Mosaic requires the (sublane, lane) dims of every block to be
+    # (multiple of 8, 128) -> cell blocks are multiples of 8*128 = 1024
+    blk = max(int(min_blk), band, 1024)
+    blk = ((blk + 1023) // 1024) * 1024
+    if blk > max_blk:
+        return None
+    nb = max(1, -(-ne // blk))
+    bc = blk // 128
+    npad = nb * blk
+
+    def pad_cell(a, fill=0.0, dtype=np.float32):
+        out = np.full(npad, fill, dtype=dtype)
+        out[:ne] = np.asarray(a, dtype=dtype)
+        return out
+
+    def pad_edge(a, fill=0.0, dtype=np.float32):
+        out = np.full((npad, 3), fill, dtype=dtype)
+        out[:ne] = np.asarray(a, dtype=dtype)
+        return out
+
+    def blk_edge(a):
+        # [npad,3] -> [nb, 3*bc, 128] slot-major rows
+        return np.ascontiguousarray(
+            a.reshape(nb, bc, 128, 3).transpose(0, 3, 1, 2)
+            .reshape(nb, 3 * bc, 128)
+        )
+
+    def blk_cell(a):
+        return np.ascontiguousarray(a.reshape(nb, bc, 128))
+
+    has_nabr = nabr >= 0
+    lakenb = np.asarray(md.lakenabr)
+    has_lake = lakenb >= 0
+
+    # window-local neighbour index: window of block b holds positions
+    # [0,blk)=prev block, [blk,2blk)=self, [2blk,3blk)=next, so the window
+    # origin is cell (b-1)*blk — deliberately NOT clamped at b=0: the prev
+    # ref then holds a duplicate of block 0 that no index points into
+    cell_block = np.arange(ne) // blk
+    win_start = (cell_block - 1) * blk
+    q = np.where(has_nabr, nabr - win_start[:, None], 0)
+    bad = has_nabr & ((q < 0) | (q >= 3 * blk))
+    if bad.any():
+        return None  # numbering not banded enough for this blk
+    nbq = pad_edge(q, 0, np.int32)
+
+    m_int = pad_edge((has_nabr & ~has_lake).astype(np.int32), 0, np.int32)
+    m_bnd = pad_edge((~has_nabr & ~has_lake).astype(np.int32), 0, np.int32)
+
+    return EdgeBlocks(
+        blk=blk, nb=nb, bc=bc, num_ele=ne,
+        nbq=blk_edge(nbq),
+        edge=blk_edge(pad_edge(md.edge)),
+        dist=blk_edge(pad_edge(np.where(has_nabr, md.dist2nabor, 1.0))),
+        rough_avg=blk_edge(pad_edge(np.maximum(md.avg_rough, 1e-20))),
+        dzs=blk_edge(pad_edge(md.edge_dz_surf)),
+        dzb=blk_edge(pad_edge(md.edge_dz_bottom)),
+        m_int=blk_edge(m_int),
+        m_bnd=blk_edge(m_bnd),
+        dist2edge=blk_edge(pad_edge(np.maximum(md.dist2edge, 1e-20))),
+        dep=blk_cell(pad_cell(md.depression)),
+        rough_cell=blk_cell(pad_cell(np.maximum(md.rough, 1e-20))),
+    )
+
+
+def edge_blocks_to_device(eb: "EdgeBlocks | None") -> "EdgeBlocks | None":
+    if eb is None:
+        return None
+    kw = {f: getattr(eb, f) for f in ("blk", "nb", "bc", "num_ele")}
+    for f in ("nbq", "m_int", "m_bnd"):
+        kw[f] = jnp.asarray(getattr(eb, f), jnp.int32)
+    for f in ("edge", "dist", "rough_avg", "dzs", "dzb", "dist2edge",
+              "dep", "rough_cell"):
+        kw[f] = jnp.asarray(getattr(eb, f), jnp.float32)
+    return EdgeBlocks(**kw)
+
+
+# ---------------------------------------------------------------------------
+# flux law (+ hand-derived tangent), shared by the primal and JVP kernels
+# ---------------------------------------------------------------------------
+
+
+def _cbrt_pos(x):
+    """cbrt for x >= 0 with the x<=TINY floor folded in (Mosaic has no cbrt
+    primitive): exp(log/3) seed + one Newton polish — <=2 ulp of true cbrt
+    over the physical range (validated in tests/test_pallas_edge.py)."""
+    xf = jnp.maximum(x, _TINY)
+    t = jnp.exp(jnp.log(xf) * (1.0 / 3.0))
+    return (2.0 * t + xf / (t * t)) * (1.0 / 3.0)
+
+
+def _pow23(x):
+    t = _cbrt_pos(x)
+    return t * t
+
+
+def _dmax0(x, tx):
+    """Tangent of ``jnp.maximum(x, 0.0)`` (JAX convention: 0.5 at ties)."""
+    return jnp.where(x > 0.0, tx, jnp.where(x == 0.0, 0.5 * tx, 0.0))
+
+
+def _flux_surface_int(isf, nsf, dzs, dist, B, ravg, dep3):
+    """Interior diffusive-wave surface flux; returns (q_int, residuals)."""
+    dh = (isf - nsf) + dzs
+    up1 = jnp.where(isf > dep3, isf, 0.0)
+    up2 = jnp.where(nsf > dep3, nsf, 0.0)
+    w = jnp.where(dh > 0.0, up1, up2)
+    ymean = jnp.minimum(w, MAXYSURF)
+    s = dh / dist
+    sqrt_s = jnp.sqrt(jnp.maximum(jnp.abs(s), _TINY))
+    p23 = _pow23(ymean)
+    q_pos = sqrt_s * (ymean * B) * p23 / ravg
+    q = jnp.where(s > 0, q_pos, -q_pos)
+    q = jnp.where((s > 0) & (isf <= 0.0), 0.0, q)
+    q = jnp.where((s < 0) & (nsf <= 0.0), 0.0, q)
+    q = jnp.where(ymean <= 0.0, 0.0, q)
+    return q, (dh, w, ymean, s, sqrt_s, p23)
+
+
+def _flux_surface_int_t(isf, nsf, t_isf, t_nsf, res, dist, B, ravg, dep3):
+    """Tangent of `_flux_surface_int`, mirroring JAX autodiff semantics
+    (where selects the active branch; maximum averages at exact ties)."""
+    dh, w, ymean, s, sqrt_s, p23 = res
+    t_dh = t_isf - t_nsf
+    t_up1 = jnp.where(isf > dep3, t_isf, 0.0)
+    t_up2 = jnp.where(nsf > dep3, t_nsf, 0.0)
+    t_w = jnp.where(dh > 0.0, t_up1, t_up2)
+    t_ym = jnp.where(w < MAXYSURF, t_w,
+                     jnp.where(w == MAXYSURF, 0.5 * t_w, 0.0))
+    t_s = t_dh / dist
+    t_abs_s = jnp.where(s >= 0.0, t_s, -t_s)
+    t_sqrt_s = jnp.where(jnp.abs(s) > _TINY, t_abs_s / (2.0 * sqrt_s), 0.0)
+    t_p23 = jnp.where(
+        ymean > _TINY,
+        (2.0 / 3.0) * t_ym / _cbrt_pos(ymean),
+        0.0,
+    )
+    cross = ymean * B
+    t_qpos = (t_sqrt_s * cross * p23
+              + sqrt_s * (t_ym * B * p23 + cross * t_p23)) / ravg
+    t_q = jnp.where(s > 0, t_qpos, -t_qpos)
+    t_q = jnp.where((s > 0) & (isf <= 0.0), 0.0, t_q)
+    t_q = jnp.where((s < 0) & (nsf <= 0.0), 0.0, t_q)
+    t_q = jnp.where(ymean <= 0.0, 0.0, t_q)
+    return t_q
+
+
+def _flux_surface_bnd(isf, d2e, B, rcell3, dep3):
+    sb = isf / d2e * 0.5
+    isf5 = _cbrt_pos(isf * isf * isf * isf * isf)
+    qb = jnp.sqrt(jnp.maximum(sb, 0.0)) * isf5 * B / rcell3
+    q = jnp.where((isf > dep3) & (sb > 0.0), qb, 0.0)
+    return q, (sb, isf5)
+
+
+def _flux_surface_bnd_t(isf, t_isf, res, d2e, B, rcell3, dep3):
+    sb, isf5 = res
+    t_sb = t_isf / d2e * 0.5
+    sqrt_sb = jnp.sqrt(jnp.maximum(sb, 0.0))
+    t_sqrt_sb = jnp.where(sb > 0.0, t_sb / (2.0 * sqrt_sb), 0.0)
+    # d cbrt(u)/du = 1/(3 cbrt(u)^2), u = isf^5; guarded to the active
+    # region (isf > dep3 > 0) by the outer select
+    u4 = isf * isf * isf * isf
+    t_isf5 = jnp.where(
+        isf > 0.0, 5.0 * u4 * t_isf / (3.0 * isf5 * isf5), 0.0)
+    t_qb = (t_sqrt_sb * isf5 + sqrt_sb * t_isf5) * B / rcell3
+    return jnp.where((isf > dep3) & (sb > 0.0), t_qb, 0.0)
+
+
+def _flux_sub_int(gw3, ngw, kh3, nkh, dzb, dist, B):
+    dh_s = (gw3 - ngw) + dzb
+    ymean_s = 0.5 * (jnp.maximum(gw3, 0.0) + jnp.maximum(ngw, 0.0))
+    grad_s = dh_s / dist
+    kmean = 0.5 * (kh3 + nkh)
+    q = kmean * grad_s * ymean_s * B
+    cut = ((dh_s > 0.0) & (gw3 <= 0.02)) | ((dh_s < 0.0) & (ngw <= 0.02))
+    q = jnp.where(cut, 0.0, q)
+    return q, (dh_s, ymean_s, grad_s, kmean, cut)
+
+
+def _flux_sub_int_t(gw3, ngw, t_gw3, t_ngw, t_kh3, t_nkh, res, dist, B):
+    dh_s, ymean_s, grad_s, kmean, cut = res
+    t_dh = t_gw3 - t_ngw
+    t_ym = 0.5 * (_dmax0(gw3, t_gw3) + _dmax0(ngw, t_ngw))
+    t_grad = t_dh / dist
+    t_km = 0.5 * (t_kh3 + t_nkh)
+    t_q = (t_km * grad_s * ymean_s + kmean * t_grad * ymean_s
+           + kmean * grad_s * t_ym) * B
+    return jnp.where(cut, 0.0, t_q)
+
+
+def _flux_sub_bnd(gw3, kh3, d2e, dep3):
+    grad_b = gw3 / d2e * 0.5
+    act = (gw3 > dep3 * 10.0) & (grad_b > 0.0)
+    return jnp.where(act, kh3 * grad_b, 0.0), (grad_b, act)
+
+
+def _flux_sub_bnd_t(gw3, kh3, t_gw3, t_kh3, res, d2e):
+    grad_b, act = res
+    t_gradb = t_gw3 / d2e * 0.5
+    return jnp.where(act, t_kh3 * grad_b + kh3 * t_gradb, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+_LANE_GATHER_DN = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+    operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+
+def _lane_gather(x, idx):
+    """out[i,j] = x[i, idx[i,j]] — the form Mosaic lowers to its exact
+    lane-wise ``dynamic_gather``.  Direct lax.gather (not take_along_axis)
+    so indices stay int32 under jax_enable_x64 (Mosaic has no 64-bit)."""
+    return jax.lax.gather(
+        x, idx[..., None], _LANE_GATHER_DN, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _window_gather(bc, chunk, lane, parts):
+    """In-VMEM banded gather: sweep the 3-block window in 128-lane chunks.
+
+    ``parts`` = 3 tuples (prev/self/next) of field refs; returns one gathered
+    [3*bc, 128] array per field — a pure index select, exact."""
+    e3 = 3 * bc
+    nf = len(parts[0])
+    outs = [jnp.zeros((e3, 128), jnp.float32)] * nf
+    for c in range(3 * bc):
+        srcs = parts[c // bc]
+        r = c % bc
+        sel = chunk == c
+        for k in range(nf):
+            g = _lane_gather(
+                jnp.broadcast_to(srcs[k][r, :][None, :], (e3, 128)), lane)
+            outs[k] = jnp.where(sel, g, outs[k])
+    return outs
+
+
+def _rep3(v):
+    return jnp.concatenate([v, v, v], axis=0)
+
+
+def _edge_kernel(close_boundary: bool, bc: int,
+                 nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref, dzb_ref,
+                 mint_ref, mbnd_ref, d2e_ref,
+                 dep_ref, rcell_ref,
+                 sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
+                 qs_ref, qb_ref):
+    nbq = nbq_ref[0]
+    lane = nbq & 127
+    chunk = nbq >> 7
+
+    nsf_raw, ngw, nkh = _window_gather(
+        bc, chunk, lane,
+        ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)))
+
+    isf = _rep3(jnp.maximum(sf_s[...], 0.0))
+    gw3 = _rep3(gw_s[...])
+    kh3 = _rep3(kh_s[...])
+    dep3 = _rep3(dep_ref[...])
+    rcell3 = _rep3(rcell_ref[...])
+    nsf = jnp.maximum(nsf_raw, 0.0)
+
+    B = edge_ref[0]
+    dist = dist_ref[0]
+    ravg = ravg_ref[0]
+    dzs = dzs_ref[0]
+    dzb = dzb_ref[0]
+    m_int = mint_ref[0] > 0
+    m_bnd = mbnd_ref[0] > 0
+    d2e = d2e_ref[0]
+
+    q_int, _ = _flux_surface_int(isf, nsf, dzs, dist, B, ravg, dep3)
+    q_sub_int, _ = _flux_sub_int(gw3, ngw, kh3, nkh, dzb, dist, B)
+
+    if close_boundary:
+        q_surf = jnp.where(m_int, q_int, 0.0)
+        q_sub = jnp.where(m_int, q_sub_int, 0.0)
+    else:
+        q_bnd, _ = _flux_surface_bnd(isf, d2e, B, rcell3, dep3)
+        q_sub_bnd, _ = _flux_sub_bnd(gw3, kh3, d2e, dep3)
+        q_surf = jnp.where(m_int, q_int, jnp.where(m_bnd, q_bnd, 0.0))
+        q_sub = jnp.where(m_int, q_sub_int,
+                          jnp.where(m_bnd, q_sub_bnd, 0.0))
+
+    qs_ref[0] = q_surf
+    qb_ref[0] = q_sub
+
+
+def _edge_kernel_jvp(close_boundary: bool, bc: int,
+                     nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref, dzb_ref,
+                     mint_ref, mbnd_ref, d2e_ref,
+                     dep_ref, rcell_ref,
+                     sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
+                     tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
+                     tkh_p, tkh_s, tkh_n,
+                     tqs_ref, tqb_ref):
+    """Tangent kernel: recomputes the primal in-register and propagates the
+    hand-derived directional derivative.  One fused pass — this is what each
+    Krylov J·v application executes inside Newton (solver/bdf.py)."""
+    nbq = nbq_ref[0]
+    lane = nbq & 127
+    chunk = nbq >> 7
+
+    nsf_raw, ngw, nkh, tnsf_raw, tngw, tnkh = _window_gather(
+        bc, chunk, lane,
+        ((sf_p, gw_p, kh_p, tsf_p, tgw_p, tkh_p),
+         (sf_s, gw_s, kh_s, tsf_s, tgw_s, tkh_s),
+         (sf_n, gw_n, kh_n, tsf_n, tgw_n, tkh_n)))
+
+    sf_self = sf_s[...]
+    isf = _rep3(jnp.maximum(sf_self, 0.0))
+    t_isf = _rep3(_dmax0(sf_self, tsf_s[...]))
+    gw3 = _rep3(gw_s[...])
+    t_gw3 = _rep3(tgw_s[...])
+    kh3 = _rep3(kh_s[...])
+    t_kh3 = _rep3(tkh_s[...])
+    dep3 = _rep3(dep_ref[...])
+    rcell3 = _rep3(rcell_ref[...])
+    nsf = jnp.maximum(nsf_raw, 0.0)
+    t_nsf = _dmax0(nsf_raw, tnsf_raw)
+
+    B = edge_ref[0]
+    dist = dist_ref[0]
+    ravg = ravg_ref[0]
+    dzs = dzs_ref[0]
+    dzb = dzb_ref[0]
+    m_int = mint_ref[0] > 0
+    m_bnd = mbnd_ref[0] > 0
+    d2e = d2e_ref[0]
+
+    _, res_si = _flux_surface_int(isf, nsf, dzs, dist, B, ravg, dep3)
+    tq_int = _flux_surface_int_t(isf, nsf, t_isf, t_nsf, res_si,
+                                 dist, B, ravg, dep3)
+    _, res_bi = _flux_sub_int(gw3, ngw, kh3, nkh, dzb, dist, B)
+    tq_sub_int = _flux_sub_int_t(gw3, ngw, t_gw3, tngw, t_kh3, tnkh,
+                                 res_bi, dist, B)
+
+    if close_boundary:
+        tqs_ref[0] = jnp.where(m_int, tq_int, 0.0)
+        tqb_ref[0] = jnp.where(m_int, tq_sub_int, 0.0)
+    else:
+        _, res_sb = _flux_surface_bnd(isf, d2e, B, rcell3, dep3)
+        tq_bnd = _flux_surface_bnd_t(isf, t_isf, res_sb, d2e, B, rcell3,
+                                     dep3)
+        _, res_bb = _flux_sub_bnd(gw3, kh3, d2e, dep3)
+        tq_sub_bnd = _flux_sub_bnd_t(gw3, kh3, t_gw3, t_kh3, res_bb, d2e)
+        tqs_ref[0] = jnp.where(m_int, tq_int,
+                               jnp.where(m_bnd, tq_bnd, 0.0))
+        tqb_ref[0] = jnp.where(m_int, tq_sub_int,
+                               jnp.where(m_bnd, tq_sub_bnd, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _interpret_default() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _specs(eb, pl):
+    nb, bc = eb.nb, eb.bc
+    e_spec = pl.BlockSpec((1, 3 * bc, 128), lambda i: (i, 0, 0))
+    f_prev = pl.BlockSpec((bc, 128), lambda i: (jnp.maximum(i - 1, 0), 0))
+    f_self = pl.BlockSpec((bc, 128), lambda i: (i, 0))
+    f_next = pl.BlockSpec((bc, 128),
+                          lambda i: (jnp.minimum(i + 1, nb - 1), 0))
+    return e_spec, f_prev, f_self, f_next
+
+
+def _cells(eb, v):
+    npad = eb.nb * eb.blk
+    v = jnp.asarray(v, jnp.float32)
+    return jnp.pad(v, (0, npad - v.shape[0])).reshape(eb.nb * eb.bc, 128)
+
+
+def _unblk(eb, a):
+    nb, bc, ne = eb.nb, eb.bc, eb.num_ele
+    return (a.reshape(nb, 3, bc, 128).transpose(0, 2, 3, 1)
+            .reshape(nb * eb.blk, 3)[:ne])
+
+
+def _static_args(eb):
+    return (eb.nbq, eb.edge, eb.dist, eb.rough_avg, eb.dzs, eb.dzb,
+            eb.m_int, eb.m_bnd, eb.dist2edge,
+            eb.dep.reshape(eb.nb * eb.bc, 128),
+            eb.rough_cell.reshape(eb.nb * eb.bc, 128))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4, 5))
+def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
+    from jax.experimental import pallas as pl
+
+    nb, bc = eb.nb, eb.bc
+    e_spec, f_prev, f_self, f_next = _specs(eb, pl)
+    sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
+
+    kern = functools.partial(_edge_kernel, close_boundary, bc)
+    # Mosaic cannot lower 64-bit index/scalar types; scope out the global
+    # jax_enable_x64 while tracing the kernel (all operands are 32-bit)
+    with jax.enable_x64(False):
+        qs, qb = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[e_spec] * 9 + [f_self, f_self]
+            + [f_prev, f_self, f_next] * 3,
+            out_specs=(e_spec, e_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*_static_args(eb),
+          sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b)
+    return _unblk(eb, qs), _unblk(eb, qb)
+
+
+@_edge_pallas_core.defjvp
+def _edge_pallas_core_jvp(close_boundary, interpret, primals, tangents):
+    from jax.experimental import pallas as pl
+
+    eb, sf, gw, effkh = primals
+    _, tsf, tgw, tkh = tangents
+    nb, bc = eb.nb, eb.bc
+    e_spec, f_prev, f_self, f_next = _specs(eb, pl)
+
+    sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
+    tsf_b, tgw_b, tkh_b = _cells(eb, tsf), _cells(eb, tgw), _cells(eb, tkh)
+
+    primal_out = _edge_pallas_core(eb, sf, gw, effkh, close_boundary,
+                                   interpret)
+
+    kern = functools.partial(_edge_kernel_jvp, close_boundary, bc)
+    with jax.enable_x64(False):
+        tqs, tqb = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[e_spec] * 9 + [f_self, f_self]
+            + [f_prev, f_self, f_next] * 6,
+            out_specs=(e_spec, e_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*_static_args(eb),
+          sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b,
+          tsf_b, tsf_b, tsf_b, tgw_b, tgw_b, tgw_b, tkh_b, tkh_b, tkh_b)
+    return primal_out, (_unblk(eb, tqs), _unblk(eb, tqb))
+
+
+@functools.partial(jax.jit, static_argnames=("close_boundary", "interpret"))
+def edge_fluxes_pallas(eb: EdgeBlocks, sf, gw, effkh,
+                       close_boundary: bool = True,
+                       interpret: "bool | None" = None):
+    """Fused surface+subsurface edge fluxes.
+
+    Returns ``(q_surf[Ne,3], q_sub[Ne,3])`` f32 — identical semantics to the
+    interior+boundary branches of ``rhs.edge_fluxes``; lake-bank edges are
+    emitted as 0 (mask-merged by the caller).  Differentiable via a
+    hand-derived tangent kernel (``_edge_kernel_jvp``), so the Newton–Krylov
+    solver's exact J·v products work through it.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    return _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret)

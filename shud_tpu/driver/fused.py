@@ -298,7 +298,8 @@ class FusedSimulation:
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
-               calib=None, **control_overrides):
+               calib=None, pallas_edges: "bool | str" = "auto",
+               **control_overrides):
         inp = load_project(project, base=base)
         if calib is not None:
             inp.calib = calib
@@ -308,6 +309,18 @@ class FusedSimulation:
 
         check_input(inp)
         md = build_mesh(inp)
+        # fused Pallas edge kernel: f32-only; 'auto' enables it on TPU when
+        # the XLA fallback would be a generic gather (no roll shortcut)
+        if pallas_edges == "auto":
+            pallas_edges = (
+                float_dtype == jnp.float32
+                and md.roll_offsets is None
+                and jax.devices()[0].platform == "tpu"
+            )
+        if pallas_edges and float_dtype == jnp.float32:
+            from shud_tpu.core.pallas_edge import build_edge_blocks
+
+            md.edge_blocks = build_edge_blocks(md)
         dm = to_device(md, float_dtype)
         fd = float_dtype
         fr = build_forcing(inp, md)

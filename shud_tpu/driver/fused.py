@@ -310,11 +310,15 @@ class FusedSimulation:
         check_input(inp)
         md = build_mesh(inp)
         # fused Pallas edge kernel: f32-only; 'auto' enables it on TPU when
-        # the XLA fallback would be a generic gather (no roll shortcut)
+        # the XLA fallback would be a generic gather (no roll shortcut) AND
+        # the mesh is big enough that the gather dominates the kernel's
+        # fixed launch/layout cost (docs/PERF.md: at ccw size the XLA
+        # gather is trivial and the kernel only adds overhead)
         if pallas_edges == "auto":
             pallas_edges = (
                 float_dtype == jnp.float32
                 and md.roll_offsets is None
+                and md.num_ele >= 16384
                 and jax.devices()[0].platform == "tpu"
             )
         if pallas_edges and float_dtype == jnp.float32:

@@ -155,6 +155,10 @@ def run_project(
 
     write_calib(sim.inp.calib,
                 os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
+    if os.environ.get("SHUD_DEBUG_TABLES", "0") not in ("0", ""):
+        from shud_tpu.io.debugtables import write_debug_tables
+
+        write_debug_tables(md, sim.inp, paths.outpath)
 
     ne, nr = md.num_ele, md.num_riv
     y0 = np.asarray(sim.bdf.y)

@@ -200,6 +200,10 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
 
     write_calib(sim.inp.calib,
                 os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
+    if os.environ.get("SHUD_DEBUG_TABLES", "0") not in ("0", ""):
+        from shud_tpu.io.debugtables import write_debug_tables
+
+        write_debug_tables(md, sim.inp, paths.outpath)
     _y0 = np.asarray(sim.bdf.y)
     write_restart(
         os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,

@@ -155,6 +155,7 @@ def run_project(
 
     write_calib(sim.inp.calib,
                 os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
+    paths.save_project_file()  # <prj>.SHUD provenance manifest
     if os.environ.get("SHUD_DEBUG_TABLES", "0") not in ("0", ""):
         from shud_tpu.io.debugtables import write_debug_tables
 

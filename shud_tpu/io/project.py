@@ -42,6 +42,36 @@ class FilePaths:
             outpath = os.path.join(base, "output", f"{project}.out")
         return cls(project=project, inpath=inpath, outpath=outpath)
 
+    def save_project_file(self) -> str:
+        """Write ``<prj>.SHUD`` — the run-provenance manifest listing every
+        resolved input path (``FileIn::saveProject``, IO.cpp:3-45)."""
+        os.makedirs(self.outpath, exist_ok=True)
+        fn = os.path.join(self.outpath, f"{self.project}.SHUD")
+        rows = [("PRJ", self.project), ("INPATH", self.inpath),
+                ("OUTPATH", self.outpath),
+                ("MESH", self.infile("sp.mesh")), ("ATT", self.infile("sp.att")),
+                ("LAKE", self.infile("lake.bathy")),
+                ("RIV", self.infile("sp.riv")),
+                ("RIVSEG", self.infile("sp.rivseg")),
+                ("CALIB", self.infile("cfg.calib")),
+                ("PARA", self.infile("cfg.para")),
+                ("INIT", self.infile("cfg.ic")),
+                ("LC", self.infile("para.lc")),
+                ("SOIL", self.infile("para.soil")),
+                ("GEOL", self.infile("para.geol")),
+                ("FORC", self.infile("tsd.forc")),
+                ("LAI", self.infile("tsd.lai")), ("MF", self.infile("tsd.mf")),
+                ("EleBC1", self.infile("tsd.ebc1")),
+                ("EleBC2", self.infile("tsd.ebc2")),
+                ("RivBC1", self.infile("tsd.rbc1")),
+                ("RivBC2", self.infile("tsd.rbc2")),
+                ("LakeBC1", self.infile("tsd.lbc1")),
+                ("LakeBC2", self.infile("tsd.lbc2"))]
+        with open(fn, "w") as f:
+            for k, v in rows:
+                f.write(f"{k} \t {v}\n")
+        return fn
+
 
 # ---------------------------------------------------------------------------
 # Run control (.cfg.para)

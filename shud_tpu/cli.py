@@ -41,6 +41,11 @@ def main(argv=None):
                    help="disable the fused Pallas edge kernel")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a full binary checkpoint (.ckpt.npz)")
+    p.add_argument("--shards", type=int, default=None, metavar="P",
+                   help="run domain-decomposed over P devices "
+                        "(shard_map; use XLA_FLAGS="
+                        "--xla_force_host_platform_device_count=P --cpu "
+                        "to simulate a pod slice on CPU)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
     args = p.parse_args(argv)
@@ -55,6 +60,14 @@ def main(argv=None):
         from shud_tpu.io.project import read_calib
 
         calib = read_calib(args.calib)
+
+    if args.shards is not None:
+        from shud_tpu.parallel.runtime import run_project_sharded
+
+        run_project_sharded(args.project, base=args.base, p=args.shards,
+                            end_day=args.end_day, verbose=not args.quiet,
+                            outpath=args.output)
+        return
 
     if args.split:
         from shud_tpu.driver.uncoupled import run_project_split

@@ -26,12 +26,15 @@ from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
 
 def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                            t: float, tout: float,
-                           buckets: BucketState | None = None):
+                           buckets: BucketState | None = None,
+                           fr=None, dm=None):
     """Host-side forcing slice for window [t, tout), scattered to shard
-    blocks.  (Single-dispatch path used by the dry run and scaling tests;
-    the production driver fuses this on-device.)"""
-    fr = build_forcing(inp, md)
-    dm = to_device(md)
+    blocks.  Pass prebuilt ``fr``/``dm`` to amortise across windows (the
+    multi-window driver does); otherwise built per call (dry run, tests)."""
+    if fr is None:
+        fr = build_forcing(inp, md)
+    if dm is None:
+        dm = to_device(md)
     sv = jnp.asarray(fr.station_values(t))
     sx, sy, sz, wdt, den = [jnp.asarray(a) for a in fr.tsr_sample(t)]
     fac = solar_mod.tsr_factor(dm.nx, dm.ny, dm.nz, sx, sy, sz, wdt, den,
@@ -116,3 +119,181 @@ def sharded_window_step(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                            h_init=cs.init_step, h_max=cs.max_step)
     state = bdf_init(t0, y_dev, cfg)
     return solve_to(rhs_fn, state, tout, params_dev + (fs_cell, fs_riv), cfg)
+
+
+class ShardedSimulation:
+    """Multi-window domain-decomposed simulation (the multi-chip production
+    driver).
+
+    The single-device ``driver.simulate.Simulation`` equivalent for a
+    ``jax.sharding.Mesh`` of P devices: cell blocks live sharded, rivers and
+    lakes replicated, one BDF state persists across windows (multistep
+    history survives, as in the fused driver), and each window re-binds only
+    the forcing tables.  The reference has no counterpart — its only
+    parallelism is OpenMP threads (SURVEY §2.4/§5.7)."""
+
+    def __init__(self, inp: ProjectInput, md: MeshData, p: int,
+                 cfg: SolverConfig | None = None):
+        import jax.numpy as jnp
+
+        from shud_tpu.driver.init import initial_buckets, initial_state
+        from shud_tpu.parallel.partition import build_sharded_mesh, shard_state
+
+        self.inp = inp
+        self.md = md
+        self.sm = build_sharded_mesh(md, p)
+        self.fr = build_forcing(inp, md)
+        self.dm = to_device(md)
+        cs = inp.control
+        self.cfg = cfg or SolverConfig(rtol=cs.reltol, atol=cs.abstol,
+                                       h_init=cs.init_step, h_max=cs.max_step)
+        self.mesh, self.rhs_fn, params = _cached_sharded_rhs(self.sm)
+        self.cell_sh = NamedSharding(self.mesh, P(AXIS))
+        self.rep_sh = NamedSharding(self.mesh, P())
+        self.params_dev = tuple(
+            jax.tree_util.tree_map(self._put_cell, prm) if i < 3 or i == 4
+            else jax.tree_util.tree_map(self._put_rep, prm)
+            for i, prm in enumerate(params)
+        )
+        ic0, snow0 = initial_buckets(inp, md)
+        self.buckets = BucketState(ic_stg=jnp.asarray(ic0),
+                                   snow=jnp.asarray(snow0))
+        ys = shard_state(self.sm, initial_state(inp, md))
+        y_dev = {
+            "sf": self._put_cell(ys["sf"]), "us": self._put_cell(ys["us"]),
+            "gw": self._put_cell(ys["gw"]), "riv": self._put_rep(ys["riv"]),
+            "lake": self._put_rep(ys["lake"]),
+        }
+        self.state = bdf_init(cs.start_time, y_dev, self.cfg)
+        self.t = cs.start_time
+
+    def _put_cell(self, v):
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(v), self.cell_sh)
+
+    def _put_rep(self, v):
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(v), self.rep_sh)
+
+    def advance_window(self, tout: float):
+        """Advance the sharded solver to ``tout``; returns nothing (state
+        updates in place).  Buckets advance host-side, as the reference's
+        explicit ET step does."""
+        fs_cell, fs_riv, new_buckets = compute_forcing_blocks(
+            self.inp, self.md, self.sm, self.t, tout,
+            buckets=self.buckets, fr=self.fr, dm=self.dm,
+        )
+        self.buckets = new_buckets
+        fs_cell = {k: self._put_cell(v) for k, v in fs_cell.items()}
+        fs_riv = {k: self._put_rep(v) for k, v in fs_riv.items()}
+        self.state = solve_to(self.rhs_fn, self.state, tout,
+                              self.params_dev + (fs_cell, fs_riv), self.cfg)
+        self.t = tout
+
+    def y_full(self) -> np.ndarray:
+        """Gather the global state vector to host (reference Y layout)."""
+        from shud_tpu.parallel.partition import unshard_state
+
+        y = self.state.y
+        return unshard_state(self.sm, {k: np.asarray(v)
+                                       for k, v in y.items()})
+
+    @property
+    def nfe(self) -> int:
+        return int(self.state.nfe)
+
+    def run(self, t_end: float, observer=None):
+        step = self.inp.control.solver_step
+        while self.t < t_end - 1e-9:
+            tout = min(self.t + step, t_end)
+            self.advance_window(tout)
+            if observer is not None:
+                observer(self)
+
+
+def run_project_sharded(project: str, base: str = ".", p: int | None = None,
+                        end_day: float | None = None, verbose: bool = True,
+                        outpath: str | None = None, **overrides):
+    """Full sharded run with state outputs, restart snapshots and time log —
+    ``./shud <prj>`` over a P-device mesh."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from shud_tpu.io.output import PrintCtrl, TimeLog, write_restart
+    from shud_tpu.io.project import load_project
+    from shud_tpu.core.mesh import build_mesh
+
+    inp = load_project(project, base=base)
+    if end_day is not None:
+        inp.control.day_end = end_day
+    for k, v in overrides.items():
+        setattr(inp.control, k, v)
+    if outpath:
+        inp.paths.outpath = outpath
+    from shud_tpu.io.validate import check_input
+
+    check_input(inp)
+    md = build_mesh(inp)
+    if p is None:
+        p = len(jax.devices())
+        while p & (p - 1):
+            p -= 1  # largest power of two <= device count
+    sim = ShardedSimulation(inp, md, p)
+    cs = inp.control
+    paths = inp.paths
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
+    t_end = cs.end_time if end_day is None else end_day * 1440.0
+    import os as _os
+
+    _os.makedirs(paths.outpath, exist_ok=True)
+    start = inp.forc.start_yyyymmdd
+    interval = cs.dt_ye_gw or 1440
+    chans = []
+    for name, sl in (("eleysurf", slice(0, ne)),
+                     ("eleyunsat", slice(ne, 2 * ne)),
+                     ("eleygw", slice(2 * ne, 3 * ne)),
+                     ("rivystage", slice(3 * ne, 3 * ne + nr))):
+        n = sl.stop - sl.start
+        chans.append((PrintCtrl(_os.path.join(
+            paths.outpath, f"{paths.project}.{name}"), start,
+            int(interval), False, n), sl))
+    if nl:
+        chans.append((PrintCtrl(_os.path.join(
+            paths.outpath, f"{paths.project}.lakystage"), start,
+            int(interval), False, nl), slice(3 * ne + nr, 3 * ne + nr + nl)))
+    tlog = TimeLog(_os.path.join(paths.outpath, f"{paths.project}.time.csv"))
+    paths.save_project_file()
+
+    wall0 = _time.time()
+    step = cs.solver_step
+    last_nfe = 0
+    while sim.t < t_end - 1e-9:
+        tout = min(sim.t + step, t_end)
+        sim.advance_window(tout)
+        y = sim.y_full()
+        for pc, sl in chans:
+            pc.push(sim.t, y[sl])
+        if abs(sim.t % interval) < 1e-6 or sim.t >= t_end - 1e-9:
+            nfe = sim.nfe
+            wall = _time.time() - wall0
+            tlog.write(sim.t, 100.0 * sim.t / t_end,
+                       _time.process_time(), wall, nfe - last_nfe)
+            write_restart(
+                _os.path.join(paths.outpath,
+                              f"{paths.project}.cfg.ic.update"),
+                sim.t, np.asarray(sim.buckets.ic_stg),
+                np.asarray(sim.buckets.snow),
+                y[:ne], y[ne:2 * ne], y[2 * ne:3 * ne],
+                y[3 * ne:3 * ne + nr], y[3 * ne + nr:] if nl else None,
+            )
+            if verbose:
+                print(f"day {sim.t/1440:8.2f}  ({p} shards)  "
+                      f"nfe {nfe}  wall {wall:.1f}s", flush=True)
+            last_nfe = nfe
+    for pc, _sl in chans:
+        pc.close()
+    tlog.close()
+    return sim

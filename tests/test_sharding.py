@@ -109,3 +109,50 @@ def test_sharded_rhs_equivalence_lakes(qhh, eight_devices):
     dy_sh = rhs_fn(0.0, ys, params + (fs_cell, fs_riv))
     flat = unshard_state(sm, {k: np.asarray(v) for k, v in dy_sh.items()})
     assert np.abs(flat - dy_ref).max() < 1e-10
+
+
+def test_sharded_multiwindow_trajectory():
+    """ShardedSimulation (multi-window, persistent BDF state over 4 shards)
+    vs the single-device driver over the same 6 windows."""
+    import jax.numpy as jnp
+
+    from shud_tpu.driver.simulate import Simulation
+    from shud_tpu.parallel.runtime import ShardedSimulation
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(16, 8, end_day=1.0)
+    from shud_tpu.core.mesh import build_mesh
+
+    md = build_mesh(inp)
+    ssim = ShardedSimulation(inp, md, p=4)
+
+    # single-device twin built from an identical in-memory project
+    inp2 = make_synthetic_project(16, 8, end_day=1.0)
+    from shud_tpu.core.device import to_device
+    from shud_tpu.core.landsurface import BucketState
+    from shud_tpu.driver.forcing import build_forcing
+    from shud_tpu.driver.init import initial_buckets, initial_state
+    from shud_tpu.solver.bdf import SolverConfig, bdf_init
+
+    md2 = build_mesh(inp2)
+    cs = inp2.control
+    cfg = SolverConfig(rtol=cs.reltol, atol=cs.abstol,
+                       h_init=cs.init_step, h_max=cs.max_step)
+    ic0, snow0 = initial_buckets(inp2, md2)
+    s1 = Simulation(inp=inp2, md=md2, dm=to_device(md2),
+                    fr=build_forcing(inp2, md2), cfg=cfg,
+                    bdf=bdf_init(cs.start_time,
+                                 jnp.asarray(initial_state(inp2, md2)), cfg),
+                    buckets=BucketState(ic_stg=jnp.asarray(ic0),
+                                        snow=jnp.asarray(snow0)),
+                    t=cs.start_time)
+
+    for w in range(6):
+        tout = (w + 1) * 10.0
+        ssim.advance_window(tout)
+        s1.advance_window(tout)
+
+    y_sh = ssim.y_full()
+    y_sd = np.asarray(s1.bdf.y)
+    d = np.abs(y_sh - y_sd).max()
+    assert d < 1e-5, f"sharded vs single-device trajectory diverged: {d}"

@@ -1,0 +1,186 @@
+"""Whole-RHS megakernel (core/pallas_mega.py) vs the XLA RHS.
+
+Interpret mode on the CPU backend; f32 on both sides so the only expected
+differences are transcendental lowering (cbrt/pow as exp-log, <=2 ulp) and
+reduction order (fixed-width gather lists vs segment_sum).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shud_tpu.core.device import to_device
+from shud_tpu.core.pallas_mega import (
+    build_mega_blocks,
+    forcing_to_blocks,
+    mega_blocks_to_device,
+    rhs_mega,
+    y_to_z,
+    z_mask,
+    z_to_y,
+)
+from shud_tpu.core.rhs import rhs
+from shud_tpu.core.state import ForcingSlice
+
+F32 = jnp.float32
+
+
+def _mk_forcing(md, rng, with_bc=False):
+    ne, nr = md.num_ele, md.num_riv
+    z = np.zeros(ne, np.float32)
+
+    def rpos(scale, n=ne):
+        return (np.abs(rng.normal(0.0, scale, n))).astype(np.float32)
+
+    i_bc = np.asarray(md.i_bc).copy()
+    i_ss = np.asarray(md.i_ss).copy()
+    riv_bc = np.asarray(md.riv_bc).copy()
+    if with_bc:
+        i_bc[::31] = 1
+        i_bc[5::37] = -1
+        i_ss[3::29] = 1
+        i_ss[7::41] = -1
+        riv_bc[::13] = 1
+        riv_bc[1::17] = -1
+    fs = ForcingSlice(
+        net_prcp=rpos(2e-5), prcp=rpos(2e-5), pot_evap=rpos(5e-6),
+        pot_tran=rpos(5e-6), e_ic=rpos(2e-6), lai=rpos(2.0),
+        fu_surf=np.clip(rng.uniform(0.3, 1.0, ne), 0, 1).astype(np.float32),
+        fu_sub=np.clip(rng.uniform(0.3, 1.0, ne), 0, 1).astype(np.float32),
+        ele_ybc=rpos(1.0), ele_qbc=rng.normal(0, 1e-3, ne).astype(np.float32),
+        ele_qss=rng.normal(0, 1e-3, ne).astype(np.float32),
+        riv_ybc=rpos(0.5, nr), riv_qbc=rpos(1e-2, nr),
+    )
+    return fs, i_bc, i_ss, riv_bc
+
+
+def _mk_state(md, rng):
+    ne, nr = md.num_ele, md.num_riv
+    sf = np.abs(rng.normal(0.005, 0.01, ne))
+    sf[::7] = 0.0  # dry cells
+    us = np.abs(rng.normal(0.1, 0.1, ne))
+    us[::11] = 0.0
+    gw = np.abs(rng.normal(1.5, 1.0, ne))
+    gw[::13] = np.asarray(md.aq_depth)[::13] + 0.01  # gw at surface
+    riv = np.abs(rng.normal(0.3, 0.2, nr))
+    riv[::5] = 0.0
+    return np.concatenate([sf, us, gw, riv]).astype(np.float32)
+
+
+def _setup(mesh_fixture, with_bc, seed=0):
+    inp, md, _ = mesh_fixture
+    rng = np.random.default_rng(seed)
+    fs, i_bc, i_ss, riv_bc = _mk_forcing(md, rng, with_bc)
+    if with_bc:
+        import dataclasses
+
+        md = dataclasses.replace(md, i_bc=i_bc, i_ss=i_ss, riv_bc=riv_bc)
+    mb = build_mega_blocks(md)
+    assert mb is not None
+    mbd = mega_blocks_to_device(mb)
+    dm = to_device(md, float_dtype=F32)
+    y = _mk_state(md, rng)
+    fs32 = ForcingSlice(*[jnp.asarray(v, F32) for v in fs])
+    return md, dm, mb, mbd, fs32, y
+
+
+def _run_both(md, dm, mb, mbd, fs32, y, close_boundary):
+    dy_ref = np.asarray(
+        rhs(dm, fs32, 0.0, jnp.asarray(y), close_boundary=close_boundary)
+    )
+    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+    z = y_to_z(mbd, jnp.asarray(y))
+    dz = rhs_mega(mbd, fcell, friv, segfu, z,
+                  close_boundary=close_boundary)
+    dy_mega = np.asarray(z_to_y(mbd, dz))
+    return dy_ref, dy_mega, dz
+
+
+@pytest.mark.parametrize("with_bc", [False, True])
+@pytest.mark.parametrize("close_boundary", [True, False])
+def test_mega_matches_xla_ccw(ccw, with_bc, close_boundary):
+    md, dm, mb, mbd, fs32, y = _setup(ccw, with_bc)
+    dy_ref, dy_mega, dz = _run_both(md, dm, mb, mbd, fs32, y,
+                                    close_boundary)
+    scale = np.maximum(np.abs(dy_ref), 1e-7)
+    rel = np.abs(dy_mega - dy_ref) / scale
+    assert rel.max() < 2e-4, (
+        f"max rel {rel.max():.3e} at {rel.argmax()} "
+        f"(ref {dy_ref[rel.argmax()]:.6e} mega {dy_mega[rel.argmax()]:.6e})"
+    )
+    # padding lanes must be exactly zero (solver norm invariant)
+    mask = np.asarray(z_mask(mbd))
+    assert np.all(np.asarray(dz) * (1.0 - mask) == 0.0)
+
+
+def test_mega_matches_xla_heihe(heihe):
+    md, dm, mb, mbd, fs32, y = _setup(heihe, False)
+    dy_ref, dy_mega, _ = _run_both(md, dm, mb, mbd, fs32, y, True)
+    scale = np.maximum(np.abs(dy_ref), 1e-7)
+    rel = np.abs(dy_mega - dy_ref) / scale
+    assert rel.max() < 2e-4, f"max rel {rel.max():.3e}"
+
+
+@pytest.mark.parametrize("with_bc", [False, True])
+def test_mega_jvp_matches_xla(ccw, with_bc):
+    """Hand-derived tangent kernel vs jax.jvp of the XLA RHS."""
+    md, dm, mb, mbd, fs32, y = _setup(ccw, with_bc, seed=3)
+    rng = np.random.default_rng(7)
+    ny = y.shape[0]
+    v = rng.normal(0, 1.0, ny).astype(np.float32)
+
+    def f_ref(yy):
+        return rhs(dm, fs32, 0.0, yy, close_boundary=True)
+
+    _, jv_ref = jax.jvp(f_ref, (jnp.asarray(y),), (jnp.asarray(v),))
+    jv_ref = np.asarray(jv_ref)
+
+    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+
+    def f_mega(z):
+        return rhs_mega(mbd, fcell, friv, segfu, z, close_boundary=True)
+
+    zb = y_to_z(mbd, jnp.asarray(y))
+    vb = y_to_z(mbd, jnp.asarray(v))
+    _, jvb = jax.jvp(f_mega, (zb,), (vb,))
+    jv_mega = np.asarray(z_to_y(mbd, jvb))
+
+    scale = np.maximum(np.abs(jv_ref), 1e-5)
+    rel = np.abs(jv_mega - jv_ref) / scale
+    assert rel.max() < 5e-4, (
+        f"max rel {rel.max():.3e} at {rel.argmax()} "
+        f"(ref {jv_ref[rel.argmax()]:.6e} mega {jv_mega[rel.argmax()]:.6e})"
+    )
+
+
+def test_mega_linearize_reuse(ccw):
+    """jax.linearize through the custom JVP (the Newton-Krylov pattern)."""
+    md, dm, mb, mbd, fs32, y = _setup(ccw, False, seed=5)
+    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+
+    def f_mega(z):
+        return rhs_mega(mbd, fcell, friv, segfu, z, close_boundary=True)
+
+    zb = y_to_z(mbd, jnp.asarray(y))
+    fy, flin = jax.linearize(f_mega, zb)
+    rng = np.random.default_rng(11)
+    for s in range(2):
+        v = rng.normal(0, 1.0, y.shape[0]).astype(np.float32)
+        vb = y_to_z(mbd, jnp.asarray(v))
+        jv1 = z_to_y(mbd, flin(vb))
+        _, jv2 = jax.jvp(f_mega, (zb,), (vb,))
+        np.testing.assert_allclose(
+            np.asarray(jv1), np.asarray(z_to_y(mbd, jv2)),
+            rtol=1e-6, atol=1e-12)
+
+
+def test_blocks_roundtrip(ccw):
+    _, md, _ = ccw
+    mb = build_mega_blocks(md)
+    mbd = mega_blocks_to_device(mb)
+    rng = np.random.default_rng(1)
+    y = _mk_state(md, rng)
+    zb = y_to_z(mbd, jnp.asarray(y))
+    y2 = np.asarray(z_to_y(mbd, zb))
+    np.testing.assert_array_equal(y.astype(np.float32), y2)

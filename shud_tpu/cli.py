@@ -39,6 +39,11 @@ def main(argv=None):
                    help="force the fused Pallas edge kernel (f32 only)")
     p.add_argument("--no-pallas", dest="pallas", action="store_false",
                    help="disable the fused Pallas edge kernel")
+    p.add_argument("--mega", dest="mega", action="store_true", default=None,
+                   help="force the whole-RHS Pallas megakernel solve path "
+                        "(f32, lake-free VMEM-resident meshes)")
+    p.add_argument("--no-mega", dest="mega", action="store_false",
+                   help="disable the whole-RHS Pallas megakernel")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a full binary checkpoint (.ckpt.npz)")
     p.add_argument("--shards", type=int, default=None, metavar="P",
@@ -110,6 +115,7 @@ def main(argv=None):
                     calib=calib,
                     resume=args.resume,
                     pallas_edges="auto" if args.pallas is None else args.pallas,
+                    mega="auto" if args.mega is None else args.mega,
                 )
         except ShudError as e:  # reference myexit: typed exit codes
             print(f"FATAL: {e}", flush=True)

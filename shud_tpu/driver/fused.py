@@ -70,7 +70,7 @@ ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
 
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
                                    "close_boundary", "terrain_radiation",
-                                   "swnet_mode", "cryosphere"))
+                                   "swnet_mode", "cryosphere", "use_mega"))
 def run_interval(
     dm: MeshData,
     tables: ChunkTables,
@@ -93,6 +93,9 @@ def run_interval(
     cryo_state=None,
     cryo_bounds=(-1.0, -5.0, -3.0, -10.0),
     bc_tables=None,  # optional dict: per-window BC value arrays [W, ...]
+    use_mega: bool = False,  # whole-RHS Pallas megakernel solve path
+    mbd=None,  # device MegaBlocks (use_mega only)
+    ewt_scale=None,  # blocked-layout WRMS mask (use_mega only)
 ):
     ne, nr, nl = dm.num_ele, dm.num_riv, dm.num_lake
     dtype = bdf_state.t.dtype
@@ -168,14 +171,10 @@ def run_interval(
             riv_ybc=riv_ybc, riv_qbc=riv_qbc,
         )
 
-        def f(tt, yy, params):
-            mesh, slc = params
-            return rhs(mesh, slc, tt, yy, close_boundary=close_boundary)
-
-        def quad_fn(tt, yy, params):
+        def quad_rates(tt, yy):
             """Basin ET and outlet-discharge rates [m3/min] along the
             trajectory (exact water-balance quadrature)."""
-            mesh, slc = params
+            mesh, slc = dm, fs
             from shud_tpu.core.rhs import update_element as _ue, et_flux
 
             from shud_tpu.core.state import split_y
@@ -216,12 +215,35 @@ def run_interval(
                 "qout": jnp.sum(jnp.where(is_outlet, qo, 0.0)),
             }
 
-        st = _solve_to_inner(f, st, tout, (dm, fs), cfg,
-                             quad_fn if st.quad is not None else None)
+        if use_mega:
+            from shud_tpu.core.pallas_mega import (
+                forcing_to_blocks, rhs_mega, z_to_y,
+            )
+
+            fcell, friv, segfu = forcing_to_blocks(mbd, fs, dm.seg_ele)
+
+            def f(tt, zz, params):
+                fc_, fr_, sg_ = params
+                return rhs_mega(mbd, fc_, fr_, sg_, zz,
+                                close_boundary=close_boundary)
+
+            qfn = ((lambda tt, zz, _p: quad_rates(tt, z_to_y(mbd, zz)))
+                   if st.quad is not None else None)
+            st = _solve_to_inner(f, st, tout, (fcell, friv, segfu), cfg,
+                                 qfn, ewt_scale)
+            y = z_to_y(mbd, st.y)
+        else:
+            def f(tt, yy, params):
+                mesh, slc = params
+                return rhs(mesh, slc, tt, yy, close_boundary=close_boundary)
+
+            qfn = ((lambda tt, yy, _p: quad_rates(tt, yy))
+                   if st.quad is not None else None)
+            st = _solve_to_inner(f, st, tout, (dm, fs), cfg, qfn)
+            y = st.y
 
         # diagnostics at the accepted state (one extra RHS eval)
-        _, diag = rhs_full(dm, fs, tout, st.y, close_boundary=close_boundary)
-        y = st.y
+        _, diag = rhs_full(dm, fs, tout, y, close_boundary=close_boundary)
         es, eu, eg = diag["es"], diag["eu"], diag["eg"]
         tu, tg, e_ic = diag["tu"], diag["tg"], diag["e_ic"]
         vals_e = {
@@ -295,12 +317,28 @@ class FusedSimulation:
     cryo: object = None
     bc_dev: object = None  # (tables dict incl. per-window rows, col maps)
     last_mean_l: dict = dataclasses.field(default_factory=dict)
+    mbd: object = None  # device MegaBlocks when the megakernel path is on
+    ewt_scale: object = None  # blocked-layout WRMS mask for the solver
+
+    @property
+    def use_mega(self) -> bool:
+        return self.mbd is not None
+
+    def y_np(self) -> np.ndarray:
+        """The prognostic state as a flat host array (layout-independent)."""
+        if self.use_mega:
+            from shud_tpu.core.pallas_mega import z_to_y
+
+            return np.asarray(z_to_y(self.mbd, self.bdf.y))
+        return np.asarray(self.bdf.y)
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
                calib=None, pallas_edges: "bool | str" = "auto",
+               mega: "bool | str" = "auto", inp: "ProjectInput | None" = None,
                **control_overrides):
-        inp = load_project(project, base=base)
+        if inp is None:
+            inp = load_project(project, base=base)
         if calib is not None:
             inp.calib = calib
         for k, v in control_overrides.items():
@@ -325,6 +363,30 @@ class FusedSimulation:
             from shud_tpu.core.pallas_edge import build_edge_blocks
 
             md.edge_blocks = build_edge_blocks(md)
+        # whole-RHS Pallas megakernel (core/pallas_mega.py): f32, no lakes,
+        # VMEM-resident mesh.  One kernel launch per RHS eval (and one per
+        # J·v) removes the per-op fixed costs that dominate small meshes;
+        # the solver carries the state in the kernel's blocked Z layout.
+        mbd = None
+        ewt_scale = None
+        if mega == "auto":
+            mega = (float_dtype == jnp.float32
+                    and jax.devices()[0].platform == "tpu")
+        if mega and float_dtype == jnp.float32:
+            from shud_tpu.core.pallas_mega import (
+                build_mega_blocks,
+                mega_blocks_to_device,
+                z_mask,
+            )
+
+            mb = build_mega_blocks(md)
+            if mb is not None:
+                mbd = mega_blocks_to_device(mb)
+                m = z_mask(mbd)
+                # zero padding lanes out of the WRMS norm and rescale so
+                # the norm equals the unpadded layout's exactly
+                n_active = 3 * md.num_ele + md.num_riv
+                ewt_scale = m * np.sqrt(m.size / n_active).astype(np.float32)
         dm = to_device(md, float_dtype)
         fd = float_dtype
         fr = build_forcing(inp, md)
@@ -355,12 +417,17 @@ class FusedSimulation:
                              int(gc.fzn_subday), fd)
         quad0 = {"et": jnp.zeros((), dtype=fd),
                  "qout": jnp.zeros((), dtype=fd)}
+        y_solver = y0
+        if mbd is not None:
+            from shud_tpu.core.pallas_mega import y_to_z
+
+            y_solver = y_to_z(mbd, y0)
         return cls(
             inp=inp, md=md, dm=dm, fr=fr, tables=tables, cfg=cfg,
-            bdf=bdf_init(cs.start_time, y0, cfg, quad0=quad0),
+            bdf=bdf_init(cs.start_time, y_solver, cfg, quad0=quad0),
             buckets=BucketState(ic_stg=jnp.asarray(ic0, dtype=fd),
                                 snow=jnp.asarray(snow0, dtype=fd)),
-            t=cs.start_time, cryo=cryo,
+            t=cs.start_time, cryo=cryo, mbd=mbd, ewt_scale=ewt_scale,
         )
 
     def window_indices(self, t0: float, n_windows: int, win: float):
@@ -394,6 +461,7 @@ class FusedSimulation:
             cryo_bounds=(gc.fzn_surfmax, gc.fzn_surfmin,
                          gc.fzn_submax, gc.fzn_submin),
             bc_tables=bc_arg,
+            use_mega=self.use_mega, mbd=self.mbd, ewt_scale=self.ewt_scale,
         )
         self.bdf = st
         self.buckets = bk

@@ -205,7 +205,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         from shud_tpu.io.debugtables import write_debug_tables
 
         write_debug_tables(md, sim.inp, paths.outpath)
-    _y0 = np.asarray(sim.bdf.y)
+    _y0 = sim.y_np()
     write_restart(
         os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
         np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
@@ -222,7 +222,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     win = cs.solver_step
     while sim.t < t_end - 1e-9:
         this_int = min(interval, t_end - sim.t)
-        y0 = np.asarray(sim.bdf.y)
+        y0 = sim.y_np()
         bk0 = (np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow))
         quad0 = ({k: float(v) for k, v in sim.bdf.quad.items()}
                  if sim.bdf.quad is not None else None)
@@ -242,14 +242,14 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
             q1 = {k: float(v) for k, v in sim.bdf.quad.items()}
             quad_kwargs = dict(et_m3=q1["et"] - quad0["et"],
                                qout_m3=q1["qout"] - quad0["qout"])
-        wb.interval(t0, sim.t, y0, np.asarray(sim.bdf.y), mean_e, mean_r,
+        wb.interval(t0, sim.t, y0, sim.y_np(), mean_e, mean_r,
                     buckets0=bk0,
                     buckets1=(np.asarray(sim.buckets.ic_stg),
                               np.asarray(sim.buckets.snow)),
                     **quad_kwargs)
         if wb_ele is not None:
             wb_ele.push(sim.t, wb.element_residuals(
-                t0, sim.t, y0, np.asarray(sim.bdf.y), mean_e))
+                t0, sim.t, y0, sim.y_np(), mean_e))
         nfe = int(sim.bdf.nfe)
         perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
         if verbose:
@@ -260,7 +260,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         last_nfe = nfe
         # restart snapshot (UpdateICStep-aligned; intervals are multiples)
         if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
-            y = np.asarray(sim.bdf.y)
+            y = sim.y_np()
             if not np.isfinite(y).all():
                 bad = int(np.flatnonzero(~np.isfinite(y))[0])
                 raise NanError(

@@ -188,7 +188,7 @@ def _newton(f, t_new, y_guess, c0, bh, ewt, cfg: SolverConfig):
 
 @partial(jax.jit, static_argnums=(0, 4, 5))
 def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
-             quad_fn=None) -> BDFState:
+             quad_fn=None, ewt_scale=None) -> BDFState:
     """Advance the ODE to ``tout`` — one ``CVode(CV_NORMAL)`` equivalent.
     ``f(t, y, params)`` must be jit-pure.
 
@@ -196,7 +196,13 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
     accumulated as ``quad += h * quad_fn(t_new, y_new)`` on each accepted
     step — the reference's ``SHUD_WB_DIAG_QUAD`` CV_ONE_STEP integration
     (WaterBalanceDiag.cpp / shud.cpp:116-152), but inside the jitted
-    solve."""
+    solve.
+
+    ``ewt_scale``: optional pytree (same structure as ``y``) multiplied
+    into the WRMS error weights.  Used by padded state layouts (the Pallas
+    megakernel's blocked Z array) to zero padding lanes out of the norm and
+    rescale for the padded length, so the effective tolerance matches the
+    unpadded layout exactly."""
     dtype = state.t.dtype
     tout = jnp.asarray(tout, dtype=dtype)
 
@@ -208,6 +214,8 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
 
     def step_body(s: BDFState):
         ewt = tewt(s.y, cfg.rtol, cfg.atol)
+        if ewt_scale is not None:
+            ewt = tmap(lambda w, m: w * m, ewt, ewt_scale)
         h = jnp.minimum(jnp.minimum(s.h, cfg.h_max), tout - s.t)
         h = jnp.maximum(h, cfg.h_min)
         tau = s.h_prev

@@ -175,6 +175,32 @@ def test_mega_linearize_reuse(ccw):
             rtol=1e-6, atol=1e-12)
 
 
+def test_mega_driver_path_matches_xla_driver():
+    """FusedSimulation(mega=True): the solver carries the blocked Z state
+    and evaluates the megakernel (interpret mode on CPU); trajectory and
+    NFE must match the XLA-RHS driver."""
+    from shud_tpu.driver.fused import FusedSimulation
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    a = FusedSimulation.create(
+        "syn", inp=make_synthetic_project(8, 4, end_day=1.0),
+        float_dtype=F32, mega=False)
+    b = FusedSimulation.create(
+        "syn", inp=make_synthetic_project(8, 4, end_day=1.0),
+        float_dtype=F32, mega=True)
+    assert b.use_mega
+    a.advance_interval(30.0)
+    b.advance_interval(30.0)
+    ya, yb = a.y_np(), b.y_np()
+    assert np.abs(ya - yb).max() < 2e-5
+    assert int(a.bdf.nfe) == int(b.bdf.nfe)
+    # quadrature accumulators ride through the z_to_y wrapper
+    qa = {k: float(v) for k, v in a.bdf.quad.items()}
+    qb = {k: float(v) for k, v in b.bdf.quad.items()}
+    for k in qa:
+        assert abs(qa[k] - qb[k]) <= 1e-4 * max(1.0, abs(qa[k]))
+
+
 def test_blocks_roundtrip(ccw):
     _, md, _ = ccw
     mb = build_mega_blocks(md)

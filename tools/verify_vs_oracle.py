@@ -70,11 +70,25 @@ def jac_sparsity(md):
             dep(3 * ne + r, 3 * ne + d)
             dep(3 * ne + d, 3 * ne + r)
     if nl:
+        # lake stage couples only to its member cells, bank cells and
+        # lake-bound rivers (MD_f.cpp:180-191, MD_Lake.cpp) — keeping the
+        # pattern sparse preserves FD column grouping (a dense lake row
+        # would force one FD group per column).
+        i_lake = np.asarray(md.i_lake)
+        lakenabr = np.asarray(md.lakenabr)
+        riv_to_lake = np.asarray(md.riv_to_lake)
         for li in range(nl):
             k = 3 * ne + nr + li
-            for j in range(ny):
-                dep(k, j)
-                dep(j, k)
+            dep(k, k)
+            cells = set(np.where(i_lake == li + 1)[0])
+            cells |= set(np.where((lakenabr == li).any(axis=1))[0])
+            for i in cells:
+                for a in (int(i), ne + int(i), 2 * ne + int(i)):
+                    dep(k, a)
+                    dep(a, k)
+            for r in np.where(riv_to_lake == li)[0]:
+                dep(k, 3 * ne + int(r))
+                dep(3 * ne + int(r), k)
     data = np.ones(len(rows), dtype=np.int8)
     return coo_matrix((data, (rows, cols)), shape=(ny, ny)).tocsc()
 
@@ -156,6 +170,44 @@ class OracleBE:
         return yk
 
 
+def oracle_project(project: str, days: float) -> str:
+    """Oracle-side project name.  heihe needs a patched copy: its cfg END
+    (9861 d) exceeds the forcing coverage (9496 d), so the reference's own
+    fail-fast validation (MD_readin.cpp:797-937) aborts loadinput.  The
+    copy (symlinks + END rewritten) lives under /tmp/oracle/ws, outside the
+    repo; all data files remain the untouched reference inputs."""
+    if project != "heihe":
+        return project
+    ws_in = "/tmp/oracle/ws/input"
+    if os.path.islink(ws_in):
+        os.unlink(ws_in)
+        os.makedirs(ws_in)
+        for d in os.listdir("/root/reference/input"):
+            os.symlink(os.path.join("/root/reference/input", d),
+                       os.path.join(ws_in, d))
+    name = "heihe_v"
+    pdir = os.path.join(ws_in, name)
+    if not os.path.isdir(pdir):
+        os.makedirs(pdir)
+        src = "/root/reference/input/heihe"
+        for f in os.listdir(src):
+            if not f.startswith("heihe."):
+                continue
+            suffix = f[len("heihe"):]
+            dst = os.path.join(pdir, name + suffix)
+            if suffix == ".cfg.para":
+                lines = []
+                for ln in open(os.path.join(src, f)):
+                    if ln.split() and ln.split()[0].upper() == "END":
+                        ln = f"END\t{max(days + 1.0, 30.0):g}\n"
+                    lines.append(ln)
+                with open(dst, "w") as fh:
+                    fh.writelines(lines)
+            else:
+                os.symlink(os.path.join(src, f), dst)
+    return name
+
+
 def main():
     project = sys.argv[1] if len(sys.argv) > 1 else "ccw"
     days = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
@@ -174,17 +226,26 @@ def main():
     from tools.oracle import Oracle
 
     cwd = os.getcwd()
-    o = Oracle(project)
+    o = Oracle(oracle_project(project, days))
     os.chdir(cwd)
-    sim = Simulation.create(project, base="/root/reference")
+    # inject-forcing mode: heihe's LAI table has 11 columns but its .att
+    # iLC goes to 13 — the reference's own forcing path reads out of bounds
+    # (undefined values).  shud_tpu clamps; for a meaningful physics diff
+    # the oracle gets OUR forcing-slice fields each window (same synthetic-
+    # forcing route the golden fixtures use, tools/gen_golden.py).
+    inject = project == "heihe"
+    overrides = {"day_end": days + 1.0} if inject else {}
+    sim = Simulation.create(project, base="/root/reference", **overrides)
     cs = sim.inp.control
     md = sim.md
     ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     step = cs.solver_step
-    t_end = days * 1440.0
+    t_end = cs.start_time + days * 1440.0
     n_sub = int(round(step / h))
-    print(f"== {project}: {days:g} days, window {step:g} min, h={h:g} min "
-          f"({int(t_end/h)} BE steps) ==", flush=True)
+    print(f"== {project}: {days:g} days from t0={cs.start_time:g} min, "
+          f"window {step:g} min, h={h:g} min "
+          f"({int(days * 1440.0 / h)} BE steps)"
+          f"{' [inject-forcing mode]' if inject else ''} ==", flush=True)
 
     S = jac_sparsity(md)
     be = OracleBE(o, S)
@@ -201,13 +262,22 @@ def main():
     nwin = 0
     while t < t_end - 1e-9:
         tout = min(t + step, t_end)
-        # reference side: C++ forcing + ET buckets + BE steps
-        o.update_forcing(t)
-        o.et(t, tout)
+        # shud_tpu side forcing first (advances our buckets + sim.t)
+        fs, _cf = sim.forcing_slice(tout)
+        # reference side: C++ forcing + ET buckets — or our slice injected
+        if inject:
+            for oname, arr in (
+                ("qEleNetPrep", fs.net_prcp), ("qElePrep", fs.prcp),
+                ("qPotEvap", fs.pot_evap), ("qPotTran", fs.pot_tran),
+                ("qEleE_IC", fs.e_ic), ("t_lai", fs.lai),
+                ("fu_Surf", fs.fu_surf), ("fu_Sub", fs.fu_sub),
+            ):
+                o.set(oname, np.asarray(arr, dtype=np.float64))
+        else:
+            o.update_forcing(t)
+            o.et(t, tout)
         for k in range(n_sub):
             y_ref = be.step(t + k * h, y_ref, h)
-        # shud_tpu side: same cadence (forcing_slice advances our buckets)
-        fs, _cf = sim.forcing_slice(tout)  # advances buckets + sim.t
         _, y_tpu = fixed_bdf1(f, y_tpu, t, (sim.dm, fs), h, n_sub,
                               newton_iters=4)
         t = tout

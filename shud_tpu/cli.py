@@ -15,7 +15,8 @@ def main(argv=None):
         prog="shud_tpu",
         description="TPU-native SHUD-class watershed hydrology model",
     )
-    p.add_argument("project", help="project name (input/<prj>/<prj>.*)")
+    p.add_argument("project", nargs="?", default=None,
+                   help="project name (input/<prj>/<prj>.*)")
     p.add_argument("-0", "--dummy", action="store_true", dest="dummy",
                    help="dummy run: IO pipeline only, no solving")
     p.add_argument("-g", "--split", action="store_true",
@@ -26,6 +27,18 @@ def main(argv=None):
     p.add_argument("-b", "--base", default=".", help="base directory")
     p.add_argument("-e", "--end-day", type=float, default=None,
                    help="override END day")
+    p.add_argument("-p", "--project-file", default=None, metavar="SHUD",
+                   help="load paths from a <prj>.SHUD project manifest "
+                        "(FileIn::readProject)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="verbose screen output (overrides -q)")
+    p.add_argument("-f", "--fflush", action="store_true",
+                   help="flush every output record to disk as written")
+    p.add_argument("-n", "--num-workers", type=int, default=None,
+                   metavar="N",
+                   help="reference -n (OpenMP threads / CMA-ES lambda); "
+                        "accepted for CLI parity — XLA manages device "
+                        "parallelism, use --shards for multi-chip")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
@@ -59,12 +72,34 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.quiet and args.verbose:
+        args.quiet = False
+    if args.fflush:
+        from shud_tpu.io import output as _out
+
+        _out.FFLUSH_MODE = True
+
+    inp = None
+    if args.project_file:
+        from shud_tpu.io.project import load_project, read_project_file
+
+        paths = read_project_file(args.project_file)
+        inp = load_project(paths.project, paths=paths)
+        args.project = paths.project
+        if args.output is None:
+            args.output = paths.outpath
+    elif args.project is None:
+        p.error("a project name (or -p <file>.SHUD) is required")
 
     calib = None
     if args.calib:
         from shud_tpu.io.project import read_calib
 
         calib = read_calib(args.calib)
+
+    if inp is not None and (args.shards is not None or args.split
+                            or args.per_window or args.dummy):
+        p.error("-p is supported with the default (fused) driver only")
 
     if args.shards is not None:
         from shud_tpu.parallel.runtime import run_project_sharded
@@ -114,6 +149,7 @@ def main(argv=None):
                     outpath=args.output,
                     calib=calib,
                     resume=args.resume,
+                    inp=inp,
                     pallas_edges="auto" if args.pallas is None else args.pallas,
                     mega="auto" if args.mega is None else args.mega,
                 )

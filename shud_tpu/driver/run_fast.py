@@ -156,7 +156,7 @@ class IntervalWriter:
 
 def run_project_fast(project: str, base: str = ".", end_day=None,
                      float_dtype=None, verbose=True, outpath=None,
-                     resume=None, **overrides):
+                     resume=None, inp=None, **overrides):
     import jax.numpy as jnp
 
     if float_dtype is None:
@@ -164,7 +164,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     if end_day is not None:
         overrides.setdefault("day_end", end_day)
     sim = FusedSimulation.create(project, base=base, float_dtype=float_dtype,
-                                 **overrides)
+                                 inp=inp, **overrides)
     if outpath:
         sim.inp.paths.outpath = outpath
     if resume:

@@ -26,6 +26,11 @@ import numpy as np
 OUTPUT_TRIGGER_EPSILON = 0.001
 
 
+# -f CLI flag (reference global_fflush_mode, CommandIn.cpp:31-33): flush
+# every output record to disk as it is written (crash-durable outputs)
+FFLUSH_MODE = False
+
+
 class PrintCtrl:
     def __init__(
         self,
@@ -91,6 +96,11 @@ class PrintCtrl:
                     + "\t".join(f"{v:e}" for v in out)
                     + "\t\n"
                 )
+            if FFLUSH_MODE:
+                if self.fb is not None:
+                    self.fb.flush()
+                if self.fa is not None:
+                    self.fa.flush()
             self.buffer[:] = 0.0
             self.num_update = 0
 

@@ -28,8 +28,13 @@ class FilePaths:
     project: str
     inpath: str
     outpath: str
+    # explicit per-file path overrides keyed by suffix ("sp.mesh", ...),
+    # populated by read_project_file (-p; FileIn::readProject IO.cpp:208-292)
+    overrides: dict = dataclasses.field(default_factory=dict)
 
     def infile(self, suffix: str) -> str:
+        if suffix in self.overrides:
+            return self.overrides[suffix]
         return os.path.join(self.inpath, f"{self.project}.{suffix}")
 
     def outfile(self, name: str) -> str:
@@ -71,6 +76,55 @@ class FilePaths:
             for k, v in rows:
                 f.write(f"{k} \t {v}\n")
         return fn
+
+
+# .SHUD manifest key -> input-file suffix (FileIn::readProject IO.cpp:208)
+_PROJECT_FILE_KEYS = {
+    "MESH": "sp.mesh", "ATT": "sp.att", "LAKE": "lake.bathy",
+    "RIV": "sp.riv", "RIVSEG": "sp.rivseg", "CALIB": "cfg.calib",
+    "PARA": "cfg.para", "INIT": "cfg.ic", "LC": "para.lc",
+    "SOIL": "para.soil", "GEOL": "para.geol", "FORC": "tsd.forc",
+    "LAI": "tsd.lai", "MF": "tsd.mf", "ELEBC1": "tsd.ebc1",
+    "ELEBC2": "tsd.ebc2", "RIVBC1": "tsd.rbc1", "RIVBC2": "tsd.rbc2",
+    "LAKEBC1": "tsd.lbc1", "LAKEBC2": "tsd.lbc2",
+}
+
+
+def read_project_file(fn: str) -> FilePaths:
+    """Parse a ``<prj>.SHUD`` project manifest (the ``-p`` CLI flag;
+    ``FileIn::readProject`` IO.cpp:208-292): key/value lines naming the
+    project, in/out paths, and optional explicit per-file paths."""
+    project, inpath, outpath = None, None, None
+    overrides: dict = {}
+    with open(fn) as f:
+        for ln in f:
+            if not ln.strip() or ln[0] in "# ":
+                continue
+            parts = ln.split()
+            if len(parts) < 2:
+                continue
+            key, val = parts[0].upper(), parts[1]
+            if key == "PRJ":
+                project = val
+                inpath = inpath or os.path.join("input", val)
+                outpath = outpath or os.path.join("output", f"{val}.out")
+            elif key == "INPATH":
+                inpath = val
+            elif key == "OUTPATH":
+                outpath = val
+            elif key in _PROJECT_FILE_KEYS:
+                overrides[_PROJECT_FILE_KEYS[key]] = val
+    if project is None:
+        raise ValueError(f"{fn}: no PRJ key")
+    fp = FilePaths(project=project, inpath=inpath, outpath=outpath,
+                   overrides=overrides)
+    # drop overrides that just restate the naming convention
+    fp.overrides = {
+        s: p for s, p in overrides.items()
+        if os.path.normpath(p) != os.path.normpath(
+            os.path.join(inpath, f"{project}.{s}"))
+    }
+    return fp
 
 
 # ---------------------------------------------------------------------------
@@ -523,8 +577,10 @@ class ProjectInput:
 
 
 def load_project(project: str, base: str = ".", outpath: str | None = None,
-                 calib_file: str | None = None) -> ProjectInput:
-    paths = FilePaths.from_project(project, base, outpath)
+                 calib_file: str | None = None,
+                 paths: FilePaths | None = None) -> ProjectInput:
+    if paths is None:
+        paths = FilePaths.from_project(project, base, outpath)
     cs = read_control(paths.infile("cfg.para"))
     gc = read_calib(calib_file or paths.infile("cfg.calib"))
 

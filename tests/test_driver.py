@@ -150,3 +150,25 @@ def test_synthetic_end_to_end_mass_balance():
     # rain pulse day: budget closes within a few % (flux sampling at window
     # ends vs continuous integral)
     assert abs(row.residual_relative) < 0.05, row
+
+
+def test_project_file_roundtrip(tmp_path):
+    """-p manifest: save_project_file -> read_project_file resolves the
+    same input paths (FileIn::saveProject/readProject, IO.cpp:3-292)."""
+    from shud_tpu.io.project import FilePaths, read_project_file
+
+    fp = FilePaths.from_project("ccw", base="/root/reference",
+                                outpath=str(tmp_path))
+    fn = fp.save_project_file()
+    fp2 = read_project_file(fn)
+    assert fp2.project == "ccw"
+    assert fp2.inpath == fp.inpath
+    assert fp2.outpath == str(tmp_path)
+    for sfx in ("sp.mesh", "cfg.para", "tsd.forc"):
+        assert fp2.infile(sfx) == fp.infile(sfx)
+    # explicit override of a single file wins over the naming convention
+    with open(fn, "a") as f:
+        f.write("SOIL \t /elsewhere/other.para.soil\n")
+    fp3 = read_project_file(fn)
+    assert fp3.infile("para.soil") == "/elsewhere/other.para.soil"
+    assert fp3.infile("sp.mesh") == fp.infile("sp.mesh")

@@ -56,7 +56,8 @@ class CellForcing(NamedTuple):
 
 def cell_forcing(
     m,
-    forc_vals,  # [S, 5] station (prcp mm/d, temp C, rh, wind, rn W/m2)
+    forc_vals,  # [S, 5] station (prcp mm/d, temp C, rh, wind, rn W/m2);
+    #            [S, 8] with ET_MODE=1 (+ tmax C, tmin C, H0 MJ/m2/d)
     station_z,  # [S]
     lai_vals,  # [C_lai] LAI columns (1-based LC index selects col iLC-1)
     mf_vals,  # [C_mf]
@@ -64,6 +65,10 @@ def cell_forcing(
     cal: CalibScalars,
     swnet_mode: bool = False,
     terrain_radiation: bool = True,
+    et_mode: int = 0,  # 0 Penman-Monteith | 1 Hargreaves | 2 Priestley-
+    # Taylor.  The reference DECLARES these (Model_Control.hpp:184-187,
+    # PET_Hargreaves/PET_Priestley_Taylor is_sm_et.cpp:3-30) but only ever
+    # wires the PM path in tReadForcing; here all three are functional.
 ) -> CellForcing:
     ifc = m.i_forc - 1  # [Ne] 0-based station
     prcp_mmday = forc_vals[ifc, 0] * cal.c_prcp
@@ -143,6 +148,36 @@ def cell_forcing(
 
     veg = safe & ~is_lake
     pot_tran = jnp.where(veg, pot_tran_raw, 0.0)
+
+    if et_mode == 1:
+        # Hargreaves (SWAT 2:2.2.24, PET_Hargreaves is_sm_et.cpp:3-15):
+        # Eo = 0.023 H0 sqrt(Tmax-Tmin) (Tavg-17.8) / lambda  [mm/d], with
+        # H0 the extraterrestrial radiation and daily station Tmax/Tmin
+        # precomputed into forcing columns 5-7 (driver/forcing.py).
+        tmax = forc_vals[ifc, 5]
+        tmin = forc_vals[ifc, 6]
+        h0 = forc_vals[ifc, 7]
+        # daily formula: Tavg = (Tmax+Tmin)/2 (FAO-56), carried to the cell
+        # with the same lapse-rate/calibration offset as the instantaneous
+        # temperature (temp - t0)
+        tavg = 0.5 * (tmax + tmin) + (temp - t0)
+        pet_mmday = (
+            0.023 * h0 * jnp.sqrt(jnp.maximum(tmax - tmin, 0.0))
+            * jnp.maximum(tavg - 17.8, 0.0) / lam
+        )
+        pet = cal.c_etp * pet_mmday * 0.001 / 1440.0  # [m/min]
+        pot_evap = pet
+        pot_tran = jnp.where(veg, pet, 0.0)
+    elif et_mode == 2:
+        # Priestley-Taylor (SWAT 2:2.2.23, PET_Priestley_Taylor
+        # is_sm_et.cpp:16-30): Eo = a D/(D+g) (Hnet-G)/lambda, a=1.26
+        pet_mmday = jnp.maximum(
+            1.26 * delta / (delta + gamma) * (rg * SEC_A_DAY) / lam, 0.0
+        )
+        pet = cal.c_etp * pet_mmday * 0.001 / 1440.0  # [m/min]
+        pot_evap = pet
+        pot_tran = jnp.where(veg, pet, 0.0)
+
     etp = jnp.where(
         veg,
         pot_tran * m.veg_frac + pot_evap * (1.0 - m.veg_frac),

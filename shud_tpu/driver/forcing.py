@@ -40,6 +40,7 @@ class ForcingRuntime:
     swnet_mode: bool
     rad_factor_cap: float
     rad_cosz_min: float
+    et_mode: int = 0  # 0 PM | 1 Hargreaves | 2 Priestley-Taylor
     # boundary conditions (optional)
     bc: dict = dataclasses.field(default_factory=dict)
 
@@ -122,6 +123,35 @@ def build_forcing(inp: ProjectInput, md: MeshData) -> ForcingRuntime:
             )
             fvals[:, j, :] = inp.forc.data[j][idx, :5]
 
+    if cs.et_mode == 1:
+        # Hargreaves needs daily station Tmax/Tmin and extraterrestrial
+        # radiation H0: append them as forcing columns 5-7 (one value per
+        # forcing interval, constant within each civil day)
+        from shud_tpu.utils.timectx import TimeContext
+
+        tc = TimeContext(inp.forc.start_yyyymmdd)
+        day = np.floor(t_axis / 1440.0).astype(np.int64)
+        udays, dinv = np.unique(day, return_inverse=True)
+        ext = np.zeros((k, s, 3))
+        lat_rad = np.deg2rad(np.asarray(inp.forc.lat, dtype=np.float64))
+        for di, d in enumerate(udays):
+            rows = dinv == di
+            tmax = fvals[rows, :, 1].max(axis=0)
+            tmin = fvals[rows, :, 1].min(axis=0)
+            doy = tc.day_of_year(float(d) * 1440.0)
+            b = 2.0 * np.pi / 365.0 * doy
+            dr = 1.0 + 0.033 * np.cos(b)
+            decl = 0.409 * np.sin(b - 1.39)
+            ws = np.arccos(np.clip(-np.tan(lat_rad) * np.tan(decl), -1, 1))
+            h0 = (24.0 * 60.0 / np.pi) * 0.0820 * dr * (
+                ws * np.sin(lat_rad) * np.sin(decl)
+                + np.cos(lat_rad) * np.cos(decl) * np.sin(ws)
+            )  # FAO-56 eq 21 [MJ/m2/day]
+            ext[rows, :, 0] = tmax
+            ext[rows, :, 1] = tmin
+            ext[rows, :, 2] = h0
+        fvals = np.concatenate([fvals, ext], axis=2)
+
     cal = CalibScalars(
         c_prcp=jnp.asarray(inp.calib.ts_prcp),
         c_temp=jnp.asarray(inp.calib.ts_sfctmp_add),
@@ -164,5 +194,5 @@ def build_forcing(inp: ProjectInput, md: MeshData) -> ForcingRuntime:
         terrain_radiation=bool(cs.terrain_radiation),
         swnet_mode=(cs.radiation_input_mode == 1),
         rad_factor_cap=cs.rad_factor_cap, rad_cosz_min=cs.rad_cosz_min,
-        bc=bc,
+        et_mode=int(cs.et_mode), bc=bc,
     )

@@ -70,7 +70,8 @@ ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
 
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
                                    "close_boundary", "terrain_radiation",
-                                   "swnet_mode", "cryosphere", "use_mega"))
+                                   "swnet_mode", "cryosphere", "use_mega",
+                                   "et_mode"))
 def run_interval(
     dm: MeshData,
     tables: ChunkTables,
@@ -96,6 +97,7 @@ def run_interval(
     use_mega: bool = False,  # whole-RHS Pallas megakernel solve path
     mbd=None,  # device MegaBlocks (use_mega only)
     ewt_scale=None,  # blocked-layout WRMS mask (use_mega only)
+    et_mode: int = 0,
 ):
     ne, nr, nl = dm.num_ele, dm.num_riv, dm.num_lake
     dtype = bdf_state.t.dtype
@@ -133,6 +135,7 @@ def run_interval(
             dm, tables.fvals[ki], tables.station_z,
             tables.lai_vals[li], tables.mf_vals[mi], factor, cal,
             swnet_mode=swnet_mode, terrain_radiation=terrain_radiation,
+            et_mode=et_mode,
         )
         out = et_bucket_step(dm, cf, bk, win_minutes, cal.c_ismax)
         ones = jnp.ones_like(dm.nx)
@@ -462,6 +465,7 @@ class FusedSimulation:
                          gc.fzn_submax, gc.fzn_submin),
             bc_tables=bc_arg,
             use_mega=self.use_mega, mbd=self.mbd, ewt_scale=self.ewt_scale,
+            et_mode=int(self.fr.et_mode),
         )
         self.bdf = st
         self.buckets = bk

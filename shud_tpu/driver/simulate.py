@@ -35,7 +35,7 @@ from shud_tpu.solver.bdf import BDFState, SolverConfig, bdf_init, solve_to
 
 
 @partial(jax.jit, static_argnames=("close_boundary", "terrain_radiation",
-                                   "swnet_mode", "cfg"))
+                                   "swnet_mode", "et_mode", "cfg"))
 def window_step(
     dm: MeshData,
     bdf_state: BDFState,
@@ -53,6 +53,7 @@ def window_step(
     close_boundary: bool = True,
     terrain_radiation: bool = True,
     swnet_mode: bool = False,
+    et_mode: int = 0,
 ):
     """One forcing window: forcing -> buckets -> implicit solve to tout."""
     if terrain_radiation:
@@ -65,6 +66,7 @@ def window_step(
     cf = cell_forcing(
         dm, station_vals, station_z, lai_vals, mf_vals, factor, cal,
         swnet_mode=swnet_mode, terrain_radiation=terrain_radiation,
+        et_mode=et_mode,
     )
     out = et_bucket_step(dm, cf, buckets, tout - t, cal.c_ismax)
     ones = jnp.ones_like(dm.nx)
@@ -147,6 +149,7 @@ class Simulation:
             close_boundary=bool(self.inp.control.close_boundary),
             terrain_radiation=fr.terrain_radiation,
             swnet_mode=fr.swnet_mode,
+            et_mode=fr.et_mode,
         )
         self.bdf = new_bdf
         self.buckets = new_buckets
@@ -171,7 +174,8 @@ class Simulation:
         cf = cell_forcing(self.dm, sv, fr.station_z,
                           jnp.asarray(fr.lai_at(t)), jnp.asarray(fr.mf_at(t)),
                           fac, fr.cal, swnet_mode=fr.swnet_mode,
-                          terrain_radiation=fr.terrain_radiation)
+                          terrain_radiation=fr.terrain_radiation,
+                          et_mode=fr.et_mode)
         out = et_bucket_step(self.dm, cf, self.buckets, tout - t,
                              fr.cal.c_ismax)
         self.buckets = out.state

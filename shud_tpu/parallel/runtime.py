@@ -40,7 +40,8 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
     fac = solar_mod.tsr_factor(dm.nx, dm.ny, dm.nz, sx, sy, sz, wdt, den,
                                fr.rad_factor_cap, fr.rad_cosz_min)
     cf = cell_forcing(dm, sv, fr.station_z, jnp.asarray(fr.lai_at(t)),
-                      jnp.asarray(fr.mf_at(t)), fac, fr.cal)
+                      jnp.asarray(fr.mf_at(t)), fac, fr.cal,
+                      swnet_mode=fr.swnet_mode, et_mode=fr.et_mode)
     if buckets is None:
         buckets = BucketState(
             ic_stg=jnp.zeros(md.num_ele), snow=jnp.zeros(md.num_ele)

@@ -109,3 +109,65 @@ def test_et_bucket_ccw(golden_ccw, ccw, ccw_samples):
             ref = g[f"et{k}/{name}"]
             err = np.abs(np.asarray(mine) - ref).max()
             assert err < 1e-12, f"t={t} {name}: {err:.3e}"
+
+
+class TestETModes:
+    """ET_Mode 1/2 (Hargreaves / Priestley-Taylor).  The reference declares
+    these (Model_Control.hpp:184-187; PET functions is_sm_et.cpp:3-30) but
+    never wires them into tReadForcing; shud_tpu makes all three modes
+    functional."""
+
+    def test_hargreaves_forcing_columns(self):
+        from shud_tpu.core.mesh import build_mesh
+        from shud_tpu.driver.forcing import build_forcing
+        from shud_tpu.io.project import load_project
+
+        inp = load_project("ccw", base="/root/reference")
+        inp.control.et_mode = 1
+        md = build_mesh(inp)
+        fr = build_forcing(inp, md)
+        assert fr.et_mode == 1
+        assert fr.fvals.shape[2] == 8
+        tmax, tmin, h0 = fr.fvals[:, :, 5], fr.fvals[:, :, 6], fr.fvals[:, :, 7]
+        assert (tmax >= tmin - 1e-12).all()
+        # daily extremes bound the instantaneous temperature
+        assert (fr.fvals[:, :, 1] <= tmax + 1e-9).all()
+        assert (fr.fvals[:, :, 1] >= tmin - 1e-9).all()
+        # extraterrestrial radiation: plausible band at ccw latitude (39 N)
+        assert (h0 > 5.0).all() and (h0 < 50.0).all()
+
+    @pytest.mark.parametrize("mode", [1, 2])
+    def test_modes_produce_pet(self, mode):
+        import jax.numpy as jnp
+
+        from shud_tpu.core.device import to_device
+        from shud_tpu.core.landsurface import cell_forcing
+        from shud_tpu.core.mesh import build_mesh
+        from shud_tpu.driver.forcing import build_forcing
+        from shud_tpu.io.project import load_project
+
+        inp = load_project("ccw", base="/root/reference")
+        inp.control.et_mode = mode
+        md = build_mesh(inp)
+        fr = build_forcing(inp, md)
+        dm = to_device(md, jnp.float64)
+        # midsummer mid-afternoon LOCAL time (ccw lon -122.7 = UTC-8; the
+        # forcing clock is UTC): radiation-driven PET must be positive
+        t = 1440.0 * 172 + 22.0 * 60.0
+        sv = jnp.asarray(fr.station_values(t))
+        cf = cell_forcing(dm, sv, fr.station_z, jnp.asarray(fr.lai_at(t)),
+                          jnp.asarray(fr.mf_at(t)), jnp.ones(md.num_ele),
+                          fr.cal, terrain_radiation=False, et_mode=mode)
+        etp = np.asarray(cf.etp)
+        assert np.isfinite(etp).all()
+        assert (etp >= 0).all()
+        assert etp.max() > 0.0
+        # PET stays within a physically plausible band (< 30 mm/day)
+        assert etp.max() * 1440.0 * 1000.0 < 30.0
+
+        # mode 0 (PM) on the same inputs differs (different formula)
+        cf0 = cell_forcing(dm, sv[:, :5], fr.station_z,
+                           jnp.asarray(fr.lai_at(t)),
+                           jnp.asarray(fr.mf_at(t)), jnp.ones(md.num_ele),
+                           fr.cal, terrain_radiation=False, et_mode=0)
+        assert not np.allclose(np.asarray(cf0.etp), etp)

@@ -263,7 +263,7 @@ def main():
     while t < t_end - 1e-9:
         tout = min(t + step, t_end)
         # shud_tpu side forcing first (advances our buckets + sim.t)
-        fs, _cf = sim.forcing_slice(tout)
+        fs, cf = sim.forcing_slice(tout)
         # reference side: C++ forcing + ET buckets — or our slice injected
         if inject:
             for oname, arr in (
@@ -271,6 +271,7 @@ def main():
                 ("qPotEvap", fs.pot_evap), ("qPotTran", fs.pot_tran),
                 ("qEleE_IC", fs.e_ic), ("t_lai", fs.lai),
                 ("fu_Surf", fs.fu_surf), ("fu_Sub", fs.fu_sub),
+                ("qEleETP", cf.etp),  # only feeds the AET>2*PET warning
             ):
                 o.set(oname, np.asarray(arr, dtype=np.float64))
         else:

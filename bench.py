@@ -43,13 +43,18 @@ def measure_cpp_baseline() -> float:
         o.update_forcing(0.0)
         o.et(0.0, 10.0)
         o.f(0.0, y)
-        t0 = time.time()
-        n = 300
-        for _ in range(n):
-            o.f(0.0, y)
-        dt = (time.time() - t0) / n
+        # best-of-chunks minimises contention bias from other host processes
+        best_dt = float("inf")
+        for _ in range(6):
+            t0 = time.time()
+            n = 50
+            for _ in range(n):
+                o.f(0.0, y)
+            best_dt = min(best_dt, (time.time() - t0) / n)
         os.chdir(cwd)
-        return o.ne / dt
+        # never report a baseline slower than the recorded idle-machine
+        # number — a loaded host must not inflate vs_baseline
+        return max(o.ne / best_dt, CPP_CELL_EVALS_PER_S_FALLBACK)
     except Exception:
         return CPP_CELL_EVALS_PER_S_FALLBACK
 

@@ -13,6 +13,7 @@ small-mesh wall time, especially over the TPU tunnel.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -339,6 +340,7 @@ class FusedSimulation:
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,
                calib=None, pallas_edges: "bool | str" = "auto",
                mega: "bool | str" = "auto", inp: "ProjectInput | None" = None,
+               wb_exact: "bool | None" = None,
                **control_overrides):
         if inp is None:
             inp = load_project(project, base=base)
@@ -418,8 +420,15 @@ class FusedSimulation:
             gc = inp.calib
             cryo = cryo_init(md.num_ele, int(gc.fzn_surfday),
                              int(gc.fzn_subday), fd)
-        quad0 = {"et": jnp.zeros((), dtype=fd),
-                 "qout": jnp.zeros((), dtype=fd)}
+        # exact water-balance quadrature along the solver trajectory is
+        # OPT-IN, mirroring the reference (WB diagnostics only run under
+        # SHUD_WB_DIAG=1, shud.cpp:70-75); the default daily budget uses
+        # window-end sampled means (docs/VALIDATION.md).  Integrating the
+        # ET/outlet rates on every accepted step costs a partial RHS.
+        if wb_exact is None:
+            wb_exact = os.environ.get("SHUD_WB_DIAG", "0") not in ("0", "")
+        quad0 = ({"et": jnp.zeros((), dtype=fd),
+                  "qout": jnp.zeros((), dtype=fd)} if wb_exact else None)
         y_solver = y0
         if mbd is not None:
             from shud_tpu.core.pallas_mega import y_to_z

@@ -184,10 +184,10 @@ def test_mega_driver_path_matches_xla_driver():
 
     a = FusedSimulation.create(
         "syn", inp=make_synthetic_project(8, 4, end_day=1.0),
-        float_dtype=F32, mega=False)
+        float_dtype=F32, mega=False, wb_exact=True)
     b = FusedSimulation.create(
         "syn", inp=make_synthetic_project(8, 4, end_day=1.0),
-        float_dtype=F32, mega=True)
+        float_dtype=F32, mega=True, wb_exact=True)
     assert b.use_mega
     a.advance_interval(30.0)
     b.advance_interval(30.0)

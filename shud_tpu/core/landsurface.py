@@ -70,10 +70,25 @@ def cell_forcing(
     # PET_Hargreaves/PET_Priestley_Taylor is_sm_et.cpp:3-30) but only ever
     # wires the PM path in tReadForcing; here all three are functional.
 ) -> CellForcing:
+    # Station/class lookups are per-cell gathers from TINY tables with
+    # STATIC indices.  XLA's generic gather costs ~per-index overhead on TPU
+    # (measured ~5 ms per gather at 1M cells — it dominated the forcing
+    # transform); a one-hot contraction is fused VPU work instead.
+    def _onehot_pick(table, idx0):
+        """table[idx0] via one-hot: [K,...] table, [Ne] static indices."""
+        k = table.shape[0]
+        if k == 1:
+            return jnp.broadcast_to(table[0], idx0.shape + table.shape[1:])
+        oh = idx0[:, None] == jnp.arange(k, dtype=idx0.dtype)[None, :]
+        if table.ndim == 1:
+            return jnp.where(oh, table[None, :], 0.0).sum(axis=1)
+        return jnp.where(oh[:, :, None], table[None], 0.0).sum(axis=1)
+
     ifc = m.i_forc - 1  # [Ne] 0-based station
-    prcp_mmday = forc_vals[ifc, 0] * cal.c_prcp
-    t0 = forc_vals[ifc, 1]
-    zt = station_z[ifc]
+    sv = _onehot_pick(forc_vals, ifc)  # [Ne, 5 (or 8)]
+    prcp_mmday = sv[:, 0] * cal.c_prcp
+    t0 = sv[:, 1]
+    zt = _onehot_pick(station_z, ifc)
     # TemperatureOnElevation (Equations.hpp:66-73): NA station z -> no lapse
     lapse_ok = (zt != NA_VALUE) & (m.z_surf != NA_VALUE)
     temp = jnp.where(lapse_ok, t0 + (zt - m.z_surf) * DTDZ, t0) + cal.c_temp
@@ -81,10 +96,13 @@ def cell_forcing(
     # clamp column lookups: some shipped projects (heihe) have more
     # landcover classes than LAI columns — the reference reads out of
     # bounds there (UB); we clamp to the last column instead
-    lai = lai_vals[jnp.clip(m.i_lc - 1, 0, lai_vals.shape[0] - 1)] * cal.c_lai
-    mf = mf_vals[jnp.clip(m.i_mf - 1, 0, mf_vals.shape[0] - 1)] * cal.c_mf / 1440.0
+    lai = _onehot_pick(
+        lai_vals, jnp.clip(m.i_lc - 1, 0, lai_vals.shape[0] - 1)) * cal.c_lai
+    mf = _onehot_pick(
+        mf_vals, jnp.clip(m.i_mf - 1, 0, mf_vals.shape[0] - 1)
+    ) * cal.c_mf / 1440.0
 
-    dswrf_h = forc_vals[ifc, 4]
+    dswrf_h = sv[:, 4]
     if terrain_radiation:
         dswrf_t = dswrf_h * factor
     else:
@@ -95,8 +113,8 @@ def cell_forcing(
     else:
         rn = dswrf_t * (1.0 - m.albedo)
 
-    wind = jnp.abs(forc_vals[ifc, 3]) + 0.001
-    rh = jnp.clip(forc_vals[ifc, 2], CONST_RH, 1.0)
+    wind = jnp.abs(sv[:, 3]) + 0.001
+    rh = jnp.clip(sv[:, 2], CONST_RH, 1.0)
     prcp = prcp_mmday * 0.001 / 1440.0
     rn = rn * 1.0e-6  # W/m2 -> MJ/m2/s
 
@@ -154,9 +172,9 @@ def cell_forcing(
         # Eo = 0.023 H0 sqrt(Tmax-Tmin) (Tavg-17.8) / lambda  [mm/d], with
         # H0 the extraterrestrial radiation and daily station Tmax/Tmin
         # precomputed into forcing columns 5-7 (driver/forcing.py).
-        tmax = forc_vals[ifc, 5]
-        tmin = forc_vals[ifc, 6]
-        h0 = forc_vals[ifc, 7]
+        tmax = sv[:, 5]
+        tmin = sv[:, 6]
+        h0 = sv[:, 7]
         # daily formula: Tavg = (Tmax+Tmin)/2 (FAO-56), carried to the cell
         # with the same lapse-rate/calibration offset as the instantaneous
         # temperature (temp - t0)

@@ -408,38 +408,50 @@ def _edge_kernel(close_boundary: bool, bc: int,
     qb_ref[0] = q_sub
 
 
-def _edge_kernel_jvp(close_boundary: bool, bc: int,
-                     nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref, dzb_ref,
-                     mint_ref, mbnd_ref, d2e_ref,
-                     dep_ref, rcell_ref,
-                     sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
-                     tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
-                     tkh_p, tkh_s, tkh_n,
-                     tqs_ref, tqb_ref):
-    """Tangent kernel: recomputes the primal in-register and propagates the
-    hand-derived directional derivative.  One fused pass — this is what each
-    Krylov J·v application executes inside Newton (solver/bdf.py)."""
+def _mask_max0(x):
+    """d/dx of ``jnp.maximum(x, 0.0)`` as a multiplier (0.5 at ties)."""
+    return jnp.where(x > 0.0, 1.0, jnp.where(x == 0.0, 0.5, 0.0))
+
+
+def _edge_kernel_coeff(close_boundary: bool, bc: int,
+                       nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref,
+                       dzb_ref, mint_ref, mbnd_ref, d2e_ref,
+                       dep_ref, rcell_ref,
+                       sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
+                       qs_ref, qb_ref,
+                       si_ref, sj_ref, g1_ref, g2_ref, ki_ref, kj_ref):
+    """Primal + linearisation-coefficient kernel.
+
+    The edge-flux tangent is LINEAR in the six raw per-edge tangents
+    (t_sf_i, t_sf_j, t_gw_i, t_gw_j, t_kh_i, t_kh_j); this kernel folds
+    every branch mask / chain-rule factor of the hand tangent
+    (`_flux_*_t`) into six per-edge coefficients so each Krylov J·v
+    becomes a sparse multiply-add (`_edge_kernel_apply`) instead of
+    re-evaluating the full flux law:
+
+        tqs = S_i t_sf_i + S_j t_sf_j
+        tqb = G1 t_gw_i + G2 t_gw_j + K_i t_kh_i + K_j t_kh_j
+
+    ``jax.linearize`` hoists this kernel to the primal pass (its inputs are
+    primal-only), so Newton pays it once per iteration while the m Krylov
+    products run only the cheap apply kernel."""
     nbq = nbq_ref[0]
     lane = nbq & 127
     chunk = nbq >> 7
 
-    nsf_raw, ngw, nkh, tnsf_raw, tngw, tnkh = _window_gather(
+    nsf_raw, ngw, nkh = _window_gather(
         bc, chunk, lane,
-        ((sf_p, gw_p, kh_p, tsf_p, tgw_p, tkh_p),
-         (sf_s, gw_s, kh_s, tsf_s, tgw_s, tkh_s),
-         (sf_n, gw_n, kh_n, tsf_n, tgw_n, tkh_n)))
+        ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)))
 
     sf_self = sf_s[...]
     isf = _rep3(jnp.maximum(sf_self, 0.0))
-    t_isf = _rep3(_dmax0(sf_self, tsf_s[...]))
+    m_i = _rep3(_mask_max0(sf_self))  # d isf / d sf_i
     gw3 = _rep3(gw_s[...])
-    t_gw3 = _rep3(tgw_s[...])
     kh3 = _rep3(kh_s[...])
-    t_kh3 = _rep3(tkh_s[...])
     dep3 = _rep3(dep_ref[...])
     rcell3 = _rep3(rcell_ref[...])
     nsf = jnp.maximum(nsf_raw, 0.0)
-    t_nsf = _dmax0(nsf_raw, tnsf_raw)
+    m_j = _mask_max0(nsf_raw)  # d nsf / d sf_j
 
     B = edge_ref[0]
     dist = dist_ref[0]
@@ -450,26 +462,116 @@ def _edge_kernel_jvp(close_boundary: bool, bc: int,
     m_bnd = mbnd_ref[0] > 0
     d2e = d2e_ref[0]
 
-    _, res_si = _flux_surface_int(isf, nsf, dzs, dist, B, ravg, dep3)
-    tq_int = _flux_surface_int_t(isf, nsf, t_isf, t_nsf, res_si,
-                                 dist, B, ravg, dep3)
-    _, res_bi = _flux_sub_int(gw3, ngw, kh3, nkh, dzb, dist, B)
-    tq_sub_int = _flux_sub_int_t(gw3, ngw, t_gw3, tngw, t_kh3, tnkh,
-                                 res_bi, dist, B)
+    # ---- surface interior: primal + coefficients -------------------------
+    q_int, (dh, w, ymean, s, sqrt_s, p23) = _flux_surface_int(
+        isf, nsf, dzs, dist, B, ravg, dep3)
+    cross = ymean * B
+    # gate: exactly the zero-selects of `_flux_surface_int_t`
+    gate = jnp.where((s > 0) & (isf <= 0.0), 0.0, 1.0)
+    gate = jnp.where((s < 0) & (nsf <= 0.0), 0.0, gate)
+    gate = jnp.where(ymean <= 0.0, 0.0, gate)
+    sgn_q = jnp.where(s > 0, 1.0, -1.0)  # t_q = ±t_qpos
+    sgn_s = jnp.where(s >= 0.0, 1.0, -1.0)  # t_abs_s = ±t_s
+    # a: coefficient of t_dh (through sqrt_s); b: coefficient of t_w
+    # (through ymean -> p23 and cross)
+    a = jnp.where(
+        jnp.abs(s) > _TINY,
+        sgn_s / (2.0 * sqrt_s * dist) * cross * p23 / ravg,
+        0.0,
+    )
+    c_p = jnp.where(ymean > _TINY, (2.0 / 3.0) / _cbrt_pos(ymean), 0.0)
+    m_ym = jnp.where(w < MAXYSURF, 1.0,
+                     jnp.where(w == MAXYSURF, 0.5, 0.0))
+    b = sqrt_s * (B * p23 + cross * c_p) / ravg * m_ym
+    u_i = jnp.where(dh > 0.0, jnp.where(isf > dep3, 1.0, 0.0), 0.0)
+    u_j = jnp.where(dh > 0.0, 0.0, jnp.where(nsf > dep3, 1.0, 0.0))
+    gs = gate * sgn_q
+    s_i_int = gs * (a + b * u_i) * m_i
+    s_j_int = gs * (-a + b * u_j) * m_j
+
+    # ---- subsurface interior: primal + coefficients ----------------------
+    q_sub_int, (dh_s, ymean_s, grad_s, kmean, cut) = _flux_sub_int(
+        gw3, ngw, kh3, nkh, dzb, dist, B)
+    live = jnp.where(cut, 0.0, 1.0)
+    dmg_i = _mask_max0(gw3)
+    dmg_j = _mask_max0(ngw)
+    km_ym_d = kmean * ymean_s / dist
+    half_kg = 0.5 * kmean * grad_s
+    g1_int = live * B * (km_ym_d + half_kg * dmg_i)
+    g2_int = live * B * (-km_ym_d + half_kg * dmg_j)
+    k_sym = live * B * 0.5 * grad_s * ymean_s
+    k_i_int = k_sym
+    k_j_int = k_sym
 
     if close_boundary:
-        tqs_ref[0] = jnp.where(m_int, tq_int, 0.0)
-        tqb_ref[0] = jnp.where(m_int, tq_sub_int, 0.0)
+        qs_ref[0] = jnp.where(m_int, q_int, 0.0)
+        qb_ref[0] = jnp.where(m_int, q_sub_int, 0.0)
+        zi = jnp.zeros_like(s_i_int)
+        si_ref[0] = jnp.where(m_int, s_i_int, zi)
+        sj_ref[0] = jnp.where(m_int, s_j_int, zi)
+        g1_ref[0] = jnp.where(m_int, g1_int, zi)
+        g2_ref[0] = jnp.where(m_int, g2_int, zi)
+        ki_ref[0] = jnp.where(m_int, k_i_int, zi)
+        kj_ref[0] = jnp.where(m_int, k_j_int, zi)
     else:
-        _, res_sb = _flux_surface_bnd(isf, d2e, B, rcell3, dep3)
-        tq_bnd = _flux_surface_bnd_t(isf, t_isf, res_sb, d2e, B, rcell3,
-                                     dep3)
-        _, res_bb = _flux_sub_bnd(gw3, kh3, d2e, dep3)
-        tq_sub_bnd = _flux_sub_bnd_t(gw3, kh3, t_gw3, t_kh3, res_bb, d2e)
-        tqs_ref[0] = jnp.where(m_int, tq_int,
-                               jnp.where(m_bnd, tq_bnd, 0.0))
-        tqb_ref[0] = jnp.where(m_int, tq_sub_int,
-                               jnp.where(m_bnd, tq_sub_bnd, 0.0))
+        # ---- open-boundary branches (kinematic drainage) ------------------
+        q_bnd, (sb, isf5) = _flux_surface_bnd(isf, d2e, B, rcell3, dep3)
+        act_s = (isf > dep3) & (sb > 0.0)
+        sqrt_sb = jnp.sqrt(jnp.maximum(sb, 0.0))
+        c_sqrt_sb = jnp.where(sb > 0.0, 0.5 / (d2e * 2.0 * sqrt_sb), 0.0)
+        u4 = isf * isf * isf * isf
+        c_isf5 = jnp.where(isf > 0.0, 5.0 * u4 / (3.0 * isf5 * isf5), 0.0)
+        s_b = jnp.where(
+            act_s,
+            (c_sqrt_sb * isf5 + sqrt_sb * c_isf5) * B / rcell3,
+            0.0,
+        ) * m_i
+
+        q_sub_bnd, (grad_b, act_b) = _flux_sub_bnd(gw3, kh3, d2e, dep3)
+        g1_bnd = jnp.where(act_b, kh3 * 0.5 / d2e, 0.0)
+        k_i_bnd = jnp.where(act_b, grad_b, 0.0)
+
+        qs_ref[0] = jnp.where(m_int, q_int, jnp.where(m_bnd, q_bnd, 0.0))
+        qb_ref[0] = jnp.where(m_int, q_sub_int,
+                              jnp.where(m_bnd, q_sub_bnd, 0.0))
+        zi = jnp.zeros_like(s_i_int)
+        si_ref[0] = jnp.where(m_int, s_i_int,
+                              jnp.where(m_bnd, s_b, zi))
+        sj_ref[0] = jnp.where(m_int, s_j_int, zi)
+        g1_ref[0] = jnp.where(m_int, g1_int,
+                              jnp.where(m_bnd, g1_bnd, zi))
+        g2_ref[0] = jnp.where(m_int, g2_int, zi)
+        ki_ref[0] = jnp.where(m_int, k_i_int,
+                              jnp.where(m_bnd, k_i_bnd, zi))
+        kj_ref[0] = jnp.where(m_int, k_j_int, zi)
+
+
+def _edge_kernel_apply(bc: int,
+                       nbq_ref, si_ref, sj_ref, g1_ref, g2_ref, ki_ref,
+                       kj_ref,
+                       tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
+                       tkh_p, tkh_s, tkh_n,
+                       tqs_ref, tqb_ref):
+    """J·v apply: gather the three tangent fields through the banded window
+    and form the per-edge multiply-add with the precomputed coefficients —
+    no flux-law recompute, no transcendentals.  This is what each Krylov
+    vector inside Newton executes (solver/bdf.py)."""
+    nbq = nbq_ref[0]
+    lane = nbq & 127
+    chunk = nbq >> 7
+
+    tnsf, tngw, tnkh = _window_gather(
+        bc, chunk, lane,
+        ((tsf_p, tgw_p, tkh_p), (tsf_s, tgw_s, tkh_s),
+         (tsf_n, tgw_n, tkh_n)))
+
+    t_sf3 = _rep3(tsf_s[...])
+    t_gw3 = _rep3(tgw_s[...])
+    t_kh3 = _rep3(tkh_s[...])
+
+    tqs_ref[0] = si_ref[0] * t_sf3 + sj_ref[0] * tnsf
+    tqb_ref[0] = (g1_ref[0] * t_gw3 + g2_ref[0] * tngw
+                  + ki_ref[0] * t_kh3 + kj_ref[0] * tnkh)
 
 
 # ---------------------------------------------------------------------------
@@ -539,38 +641,66 @@ def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
     return _unblk(eb, qs), _unblk(eb, qb)
 
 
-@_edge_pallas_core.defjvp
-def _edge_pallas_core_jvp(close_boundary, interpret, primals, tangents):
+def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
+    """Primal fluxes + the six per-edge linearisation coefficient blocks."""
     from jax.experimental import pallas as pl
 
-    eb, sf, gw, effkh = primals
-    _, tsf, tgw, tkh = tangents
     nb, bc = eb.nb, eb.bc
     e_spec, f_prev, f_self, f_next = _specs(eb, pl)
-
     sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
+
+    kern = functools.partial(_edge_kernel_coeff, close_boundary, bc)
+    eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(nb,),
+            in_specs=[e_spec] * 9 + [f_self, f_self]
+            + [f_prev, f_self, f_next] * 3,
+            out_specs=(e_spec,) * 8,
+            out_shape=(eshape,) * 8,
+            interpret=interpret,
+        )(*_static_args(eb),
+          sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b)
+    qs, qb = out[0], out[1]
+    coeffs = out[2:]
+    return (_unblk(eb, qs), _unblk(eb, qb)), coeffs
+
+
+def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
+    """tangent = J·v through the precomputed coefficient blocks."""
+    from jax.experimental import pallas as pl
+
+    nb, bc = eb.nb, eb.bc
+    e_spec, f_prev, f_self, f_next = _specs(eb, pl)
     tsf_b, tgw_b, tkh_b = _cells(eb, tsf), _cells(eb, tgw), _cells(eb, tkh)
 
-    primal_out = _edge_pallas_core(eb, sf, gw, effkh, close_boundary,
-                                   interpret)
-
-    kern = functools.partial(_edge_kernel_jvp, close_boundary, bc)
+    kern = functools.partial(_edge_kernel_apply, bc)
+    eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
         tqs, tqb = pl.pallas_call(
             kern,
             grid=(nb,),
-            in_specs=[e_spec] * 9 + [f_self, f_self]
-            + [f_prev, f_self, f_next] * 6,
+            in_specs=[e_spec] * 7 + [f_prev, f_self, f_next] * 3,
             out_specs=(e_spec, e_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
-                jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32),
-            ),
+            out_shape=(eshape, eshape),
             interpret=interpret,
-        )(*_static_args(eb),
-          sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b,
+        )(jnp.asarray(eb.nbq, jnp.int32), *coeffs,
           tsf_b, tsf_b, tsf_b, tgw_b, tgw_b, tgw_b, tkh_b, tkh_b, tkh_b)
-    return primal_out, (_unblk(eb, tqs), _unblk(eb, tqb))
+    return _unblk(eb, tqs), _unblk(eb, tqb)
+
+
+@_edge_pallas_core.defjvp
+def _edge_pallas_core_jvp(close_boundary, interpret, primals, tangents):
+    eb, sf, gw, effkh = primals
+    _, tsf, tgw, tkh = tangents
+    # primal + coefficients in one fused pass (primal-only inputs, so
+    # jax.linearize hoists it out of the per-J·v tangent function); the
+    # tangent is the cheap sparse apply
+    primal_out, coeffs = _edge_pallas_coeff(eb, sf, gw, effkh,
+                                            close_boundary, interpret)
+    tangent_out = _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret)
+    return primal_out, tangent_out
 
 
 @functools.partial(jax.jit, static_argnames=("close_boundary", "interpret"))
@@ -581,9 +711,11 @@ def edge_fluxes_pallas(eb: EdgeBlocks, sf, gw, effkh,
 
     Returns ``(q_surf[Ne,3], q_sub[Ne,3])`` f32 — identical semantics to the
     interior+boundary branches of ``rhs.edge_fluxes``; lake-bank edges are
-    emitted as 0 (mask-merged by the caller).  Differentiable via a
-    hand-derived tangent kernel (``_edge_kernel_jvp``), so the Newton–Krylov
-    solver's exact J·v products work through it.
+    emitted as 0 (mask-merged by the caller).  Differentiable via hand-derived
+    linearisation-coefficient kernels (``_edge_kernel_coeff`` +
+    ``_edge_kernel_apply``): Newton's ``jax.linearize`` computes the six
+    per-edge coefficients once, and each Krylov J·v runs only the sparse
+    apply kernel.
     """
     if interpret is None:
         interpret = _interpret_default()

@@ -209,8 +209,14 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
     def rhs(t, y):
         return f(t, y, params)
 
+    # per-window backstop: nsteps accumulates across the whole run (the
+    # reference's nst does too), so the cap must be relative to this call's
+    # starting count or a long run would freeze once the lifetime total
+    # crossed max_steps
+    nsteps0 = state.nsteps
+
     def step_cond(s: BDFState):
-        return (s.t < tout - 1e-9) & (s.nsteps < cfg.max_steps)
+        return (s.t < tout - 1e-9) & (s.nsteps - nsteps0 < cfg.max_steps)
 
     def step_body(s: BDFState):
         ewt = tewt(s.y, cfg.rtol, cfg.atol)

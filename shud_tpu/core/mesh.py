@@ -149,6 +149,11 @@ class MeshData:
     lake_bathy_y: np.ndarray  # [Nl, K] stage grid (absolute elevation)
     lake_bathy_a: np.ndarray  # [Nl, K] top areas
     lake_num_ele: np.ndarray  # [Nl] number of lake cells
+    # f64-precomputed per-edge lake datums for the reduced-precision path
+    # (same trick as edge_dz_surf/edge_dz_bottom: km-scale absolute
+    # elevations cancel once on the host, so f32 keeps mm-scale heads)
+    edge_lake_dzl: np.ndarray = None  # [Ne,3] lake_zmin[lk] - z_surf_i
+    edge_lake_dzb: np.ndarray = None  # [Ne,3] z_bottom_i - bathy_y[lk,0]
 
     watershed_area: float = 0.0
     # roll-gather tables (populated when the mesh's neighbour offsets
@@ -412,6 +417,13 @@ def build_mesh(inp: ProjectInput) -> MeshData:
                 lake_bathy_a[li, k:] = b[-1, 2]
                 lake_zmin[li] = b[0, 1]
 
+    # per-edge lake datums (f64 precompute for the reduced-precision path)
+    lkq = np.where(lakenabr >= 0, lakenabr, 0)
+    has_lk = lakenabr >= 0
+    edge_lake_dzl = np.where(has_lk, lake_zmin[lkq] - z_surf[:, None], 0.0)
+    edge_lake_dzb = np.where(
+        has_lk, z_bottom[:, None] - lake_bathy_y[lkq, 0], 0.0)
+
     # roll-gather precompute: if the neighbour offsets (nb - i) take few
     # distinct values (structured meshes), gathers become K rolls + selects
     # — the dominant RHS cost on TPU at large Ne
@@ -460,6 +472,7 @@ def build_mesh(inp: ProjectInput) -> MeshData:
         seg_cwr=seg_cwr, seg_ksat_h=seg_ksat_h, seg_eq_dist=seg_eq_dist,
         lake_zmin=lake_zmin, lake_bathy_y=lake_bathy_y,
         lake_bathy_a=lake_bathy_a, lake_num_ele=lake_num_ele,
+        edge_lake_dzl=edge_lake_dzl, edge_lake_dzb=edge_lake_dzb,
         watershed_area=float(area.sum()),
         roll_offsets=roll_offsets, roll_k_idx=roll_k_idx,
     )

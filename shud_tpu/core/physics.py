@@ -113,6 +113,30 @@ def weir_flow_jtoi(zi, yi, zj, yj, zbank, cwr, width, threshold):
     return jnp.where(dh > 0.0, q_pos, q_neg)
 
 
+def weir_flow_jtoi_local(y0, yj, yi, cwr, width, threshold):
+    """``weir_flow_jtoi`` in local-datum form for the reduced-precision
+    path: ``y0 = yi + (zi - zbank)`` precomputed in f64, ``yj`` measured
+    above the bank (``zj == zbank``).  Algebraically identical to
+    ``weir_flow_jtoi(zi, yi, zbank, yj, zbank, ...)`` but f32-safe against
+    km-scale absolute elevations (same trick as edge_dz_surf)."""
+    dh = yj - y0
+    y_pos = jnp.where(y0 > 0.0, dh, y0)
+    q_pos = jnp.where(
+        (y0 > 0.0) & (yj > threshold),
+        cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_pos, _TINY)) * width
+        * y_pos * 60.0,
+        0.0,
+    )
+    y_neg = jnp.where(yj > 0.0, -dh, y0)
+    q_neg = jnp.where(
+        (y0 > 0.0) & (yi > threshold),
+        -cwr * jnp.sqrt(2.0 * GRAV * jnp.maximum(y_neg, _TINY)) * width
+        * y_neg * 60.0,
+        0.0,
+    )
+    return jnp.where(dh > 0.0, q_pos, q_neg)
+
+
 def flux_r2e_gw(yr, zr, ye, ze, k_ele, k_riv, length, d_riv):
     """River-bed Darcy exchange, positive river->element
     (Flux_RiverElement.cpp:11-55)."""
@@ -134,13 +158,20 @@ def flux_r2e_gw(yr, zr, ye, ze, k_ele, k_riv, length, d_riv):
 
 def fun_da_to_dy(da, w_top, s):
     """Cross-section area change -> stage change via the bank-slope
-    quadratic (functions.hpp:117-155)."""
+    quadratic (functions.hpp:117-155).
+
+    Uses the citardauq form ``2·da / (w + sqrt(w² + 4s·da))`` — identical
+    algebra to the reference's ``(-w + sqrt(w² + 4s·da)) / (2s)`` but
+    without the w-vs-sqrt cancellation, which costs ~ulp(w²)/(4ws)
+    absolute noise (≈4e-6 m/min in f32 at w≈8, s≈0.06) in the naive
+    form."""
     s_abs = jnp.abs(s)
     cc = w_top * w_top + 4.0 * s_abs * da
+    denom = w_top + jnp.sqrt(jnp.maximum(cc, _TINY))
     quad = jnp.where(
         cc < ZERO,
         -w_top / (2.0 * s_abs),
-        (-w_top + jnp.sqrt(jnp.maximum(cc, _TINY))) / (2.0 * s_abs),
+        2.0 * da / jnp.where(denom <= 0.0, 1.0, denom),
     )
     EPS_SLOPE = 0.05e-6
     dy = jnp.where(s_abs < EPS_SLOPE, da / w_top, quad)

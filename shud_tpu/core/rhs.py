@@ -209,20 +209,21 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool,
             z3 = jnp.zeros_like(q_surf_k)
             return q_surf_k, q_sub_k, z3, z3
         # lake-bank branch (few edges): same math as below, with the one
-        # neighbour field it needs (effKH of the lake cell) gathered here
+        # neighbour field it needs (effKH of the lake cell) gathered here.
+        # Local-datum forms throughout (this path is f32-only): the
+        # km-scale elevations are cancelled once in f64 at mesh build
+        # (edge_lake_dzl/edge_lake_dzb), like edge_dz_surf for interior
+        # edges.
         isf = jnp.maximum(sf, 0.0)[:, None]
-        z = m.z_surf[:, None]
         B = m.edge
         dist = jnp.where(has_nabr, m.dist2nabor, 1.0)
         effkh_nb_l = cu.eff_kh[nb]
         lake_nsf = jnp.maximum(lake_stg[lk], 0.0)
-        q_surf_lake = ph.weir_flow_jtoi(
-            m.lake_zmin[lk], lake_nsf, z, isf, z, 0.6, B, 0.01,
+        q_surf_lake = ph.weir_flow_jtoi_local(
+            lake_nsf + m.edge_lake_dzl, isf, lake_nsf, 0.6, B, 0.01,
         )
         gw_col = gw[:, None]
-        zb = m.z_bottom[:, None]
-        lake_bot = m.lake_bathy_y[lk, 0]
-        dh_lk = (gw_col + zb) - (lake_stg[lk] + lake_bot)
+        dh_lk = (gw_col - lake_stg[lk]) + m.edge_lake_dzb
         ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lk])
         grad_lk = dh_lk / dist
         kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb_l)
@@ -273,10 +274,17 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool,
 
     # ---- surface: lake-bank branch (weir into lake) ----
     lake_nsf = jnp.maximum(lake_stg[lk], 0.0) if lake_stg.shape[0] else jnp.zeros_like(B)
-    q_surf_lake = ph.weir_flow_jtoi(
-        m.lake_zmin[lk] if lake_stg.shape[0] else jnp.zeros_like(B),
-        lake_nsf, z, isf, z, 0.6, B, 0.01,
-    )
+    if lake_stg.shape[0] and low_prec:
+        # local-datum form: f64-precomputed edge_lake_dzl keeps mm-scale
+        # heads accurate in f32 (identical algebra; see physics helper)
+        q_surf_lake = ph.weir_flow_jtoi_local(
+            lake_nsf + m.edge_lake_dzl, isf, lake_nsf, 0.6, B, 0.01,
+        )
+    else:
+        q_surf_lake = ph.weir_flow_jtoi(
+            m.lake_zmin[lk] if lake_stg.shape[0] else jnp.zeros_like(B),
+            lake_nsf, z, isf, z, 0.6, B, 0.01,
+        )
 
     # ---- surface: interior neighbour branch ----
     if low_prec:
@@ -315,8 +323,11 @@ def edge_fluxes(m, cu: CellUpdate, sf, gw, lake_stg, close_boundary: bool,
 
     # lake-bank: against lake stage over lake bottom (bathy yi[0])
     if lake_stg.shape[0]:
-        lake_bot = m.lake_bathy_y[lk, 0]
-        dh_lk = (gw_col + zb) - (lake_stg[lk] + lake_bot)
+        if low_prec:
+            dh_lk = (gw_col - lake_stg[lk]) + m.edge_lake_dzb
+        else:
+            lake_bot = m.lake_bathy_y[lk, 0]
+            dh_lk = (gw_col + zb) - (lake_stg[lk] + lake_bot)
         ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lk])
         grad_lk = dh_lk / dist
         kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb)

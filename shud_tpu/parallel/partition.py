@@ -205,8 +205,14 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
     if md.num_lake > 0:
         lakenabr = np.full((p, np_cells, 3), -1, dtype=np.int64)
         lakenabr[old_to_shard, old_to_slot] = md.lakenabr
+        dzl = np.zeros((p, np_cells, 3))
+        dzl[old_to_shard, old_to_slot] = md.edge_lake_dzl
+        dzb = np.zeros((p, np_cells, 3))
+        dzb[old_to_shard, old_to_slot] = md.edge_lake_dzb
         lake = {
             "lakenabr": lakenabr,
+            "dzl": dzl,
+            "dzb": dzb,
             "zmin": np.asarray(md.lake_zmin),
             "bathy_y": np.asarray(md.lake_bathy_y),
             "bathy_a": np.asarray(md.lake_bathy_a),

@@ -156,8 +156,10 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
         has_lk = lakenb >= 0
         lki = jnp.where(has_lk, lakenb, 0)
         lake_nsf = jnp.maximum(lake_stg[lki], 0.0)
-        q_surf_lake = ph.weir_flow_jtoi(
-            lake_tbl["zmin"][lki], lake_nsf, z, isf, z, 0.6, B, 0.01,
+        # local-datum form (same as the single-chip fast path): the
+        # km-scale elevation is cancelled in f64 at partition build
+        q_surf_lake = ph.weir_flow_jtoi_local(
+            lake_nsf + lake_tbl["dzl"], isf, lake_nsf, 0.6, B, 0.01,
         )
     if close_boundary:
         q_bnd = jnp.zeros_like(B)
@@ -192,8 +194,7 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
             cu.eff_kh[:, None] * grad_b, 0.0,
         )
     if nl > 0:
-        lake_bot = lake_tbl["bathy_y"][lki, 0]
-        dh_lk = (gw_col + zb) - (lake_stg[lki] + lake_bot)
+        dh_lk = (gw_col - lake_stg[lki]) + lake_tbl["dzb"]
         ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lki])
         kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
         q_sub_lake = kmean_lk * (dh_lk / dist) * ymean_lk * B
@@ -382,6 +383,8 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
     if sm.num_lake > 0:
         lake_tbl = {
             "lakenabr": jnp.asarray(sm.lake["lakenabr"], dtype=jnp.int32),
+            "dzl": jnp.asarray(sm.lake["dzl"], dtype=f64),
+            "dzb": jnp.asarray(sm.lake["dzb"], dtype=f64),
             "zmin": jnp.asarray(sm.lake["zmin"], dtype=f64),
             "bathy_y": jnp.asarray(sm.lake["bathy_y"], dtype=f64),
             "bathy_a": jnp.asarray(sm.lake["bathy_a"], dtype=f64),
@@ -395,7 +398,7 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
         "riv": {k: P() for k in riv},
         "halo": {"nb_shard": P(AXIS), "nb_slot": P(AXIS),
                  "export_idx": P(AXIS)},
-        "lake": {k: (P(AXIS) if k == "lakenabr" else P())
+        "lake": {k: (P(AXIS) if k in ("lakenabr", "dzl", "dzb") else P())
                  for k in lake_tbl},
     }
     y_spec = {"sf": P(AXIS), "us": P(AXIS), "gw": P(AXIS),
@@ -422,7 +425,7 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
             seg_1 = {k: v[0] for k, v in seg_l.items()}
             halo_1 = {k: v[0] for k, v in halo_l.items()}
             lake_1 = {
-                k: (v[0] if k == "lakenabr" else v)
+                k: (v[0] if k in ("lakenabr", "dzl", "dzb") else v)
                 for k, v in lake_l.items()
             }
             y_1 = {

@@ -107,17 +107,21 @@ CELL_F = (
     "theta_s", "theta_r", "theta_fc", "beta", "veg_frac", "imp_af",
     "wetland_level", "rootreach_level", "depression", "rough",
 )
-# cell ints: BC/SS sign masks, validity, then K_c segment-list rows
-CELL_I_BASE = ("ibc_pos", "ibc_neg", "iss_pos", "iss_neg", "valid")
-EDGE_F = ("B", "dist", "ravg", "dzs", "dzb", "d2e")
-EDGE_I = ("nbq", "m_int", "m_bnd")
+# cell ints: BC/SS sign masks, validity, lake membership, then K_c
+# segment-list rows
+CELL_I_BASE = ("ibc_pos", "ibc_neg", "iss_pos", "iss_neg", "valid",
+               "is_lake")
+# lk_dzl/lk_dzb: f64-precomputed lake-bank datums (mesh.edge_lake_dzl/dzb)
+EDGE_F = ("B", "dist", "ravg", "dzs", "dzb", "d2e", "lk_dzl", "lk_dzb")
+EDGE_I = ("nbq", "m_int", "m_bnd", "m_lake", "lk_id")
 SEG_F = ("length", "cwr", "dep_e", "zr_loc", "neg_depth", "ksat_riv",
          "bed_thick", "valid")
 SEG_I = ("se_q", "sr_q")
 RIV_F = ("bank_slope", "bottom_width", "length", "bed_slope", "dist2down",
          "avg_rough", "depth", "depth_dn", "s_mean", "valid")
 # river ints: masks then K_r seg-list rows then K_up upstream rows
-RIV_I_BASE = ("has_down", "dn_q", "crit_out", "to_lake", "bc_pos")
+RIV_I_BASE = ("has_down", "dn_q", "crit_out", "to_lake", "lake_id",
+              "bc_pos")
 FORC_CELL = ("net_prcp", "pot_evap", "pot_tran", "e_ic", "lai",
              "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss")
 FORC_RIV = ("riv_ybc", "riv_qbc")
@@ -147,6 +151,11 @@ class MegaBlocks:
     ne: int
     nr: int
     ns: int
+    nl: int  # lakes (0 = no lake block in Z)
+    lb: int  # lake rows in Z (0 when nl == 0, else _rows(nl))
+    # static per-lake constants baked into the kernel as python floats:
+    # (zmin[nl], bathy_y[nl][K], bathy_a[nl][K], num_ele[nl]) — hashable
+    lake_meta: tuple
 
     cell_f: np.ndarray  # [len(CELL_F), cb, 128] f32
     cell_i: np.ndarray  # [len(CELL_I_BASE)+kc, cb, 128] i32
@@ -156,13 +165,15 @@ class MegaBlocks:
     seg_i: np.ndarray   # [len(SEG_I), sb, 128] i32
     riv_f: np.ndarray   # [len(RIV_F), rb, 128] f32
     riv_i: np.ndarray   # [len(RIV_I_BASE)+kr+kup, rb, 128] i32
+    lake_w: np.ndarray  # [max(nl,1), cb*128] f32 lake-cell weights (1/n_l)
 
 
 jax.tree_util.register_dataclass(
     MegaBlocks,
     data_fields=["cell_f", "cell_i", "edge_f", "edge_i", "seg_f", "seg_i",
-                 "riv_f", "riv_i"],
-    meta_fields=["cb", "rb", "sb", "kc", "kr", "kup", "ne", "nr", "ns"],
+                 "riv_f", "riv_i", "lake_w"],
+    meta_fields=["cb", "rb", "sb", "kc", "kr", "kup", "ne", "nr", "ns",
+                 "nl", "lb", "lake_meta"],
 )
 
 
@@ -210,9 +221,11 @@ def _fixed_width_lists(targets: np.ndarray, n_targets: int, pad_idx: int):
 
 def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
     """Packed tables for the megakernel, or None when the mesh is not
-    eligible (lakes present, or too large for whole-mesh VMEM residence)."""
-    ne, nr, ns = md.num_ele, md.num_riv, md.num_seg
-    if md.num_lake > 0 or ne > max_cells or nr == 0 or ns == 0:
+    eligible (too large for whole-mesh VMEM residence).  Lake meshes are
+    supported: the (few) lake stages ride in a dedicated Z block and the
+    per-lake physics runs on in-kernel scalars."""
+    ne, nr, ns, nl = md.num_ele, md.num_riv, md.num_seg, md.num_lake
+    if ne > max_cells or nr == 0 or ns == 0 or nl > 1024:
         return None
     # reserve at least one always-zero padded slot for list padding
     cb = _rows(ne)
@@ -244,6 +257,7 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
     valid_c[:ne] = 1
     cseg = _fixed_width_lists(md.seg_ele, ne, pad_idx=ns)
     kc = cseg.shape[1]
+    i_lake_arr = np.asarray(md.i_lake)
     cell_i = np.stack(
         [
             _pad_rows((i_bc > 0).astype(np.int32), cb, 0, np.int32),
@@ -251,10 +265,17 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
             _pad_rows((i_ss > 0).astype(np.int32), cb, 0, np.int32),
             _pad_rows((i_ss < 0).astype(np.int32), cb, 0, np.int32),
             valid_c.reshape(cb, 128),
+            _pad_rows((i_lake_arr > 0).astype(np.int32), cb, 0, np.int32),
         ]
         + [_pad_rows(cseg[:, k], cb, ns, np.int32) for k in range(kc)]
     )
 
+    lakenb = np.asarray(md.lakenabr)
+    has_lake_e = lakenb >= 0
+    edge_lake_dzl = (np.asarray(md.edge_lake_dzl)
+                     if md.edge_lake_dzl is not None else np.zeros((ne, 3)))
+    edge_lake_dzb = (np.asarray(md.edge_lake_dzb)
+                     if md.edge_lake_dzb is not None else np.zeros((ne, 3)))
     edge_f = np.stack([
         _pad_edge_rows(md.edge, cb),
         _pad_edge_rows(np.where(has_nabr, md.dist2nabor, 1.0), cb, 1.0),
@@ -262,12 +283,16 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
         _pad_edge_rows(md.edge_dz_surf, cb),
         _pad_edge_rows(md.edge_dz_bottom, cb),
         _pad_edge_rows(np.maximum(md.dist2edge, 1e-20), cb, 1.0),
+        _pad_edge_rows(edge_lake_dzl, cb),
+        _pad_edge_rows(edge_lake_dzb, cb),
     ])
     nbq = np.where(has_nabr, nabr, 0)
     edge_i = np.stack([
         _pad_edge_rows(nbq, cb, 0, np.int32),
         _pad_edge_rows(has_nabr.astype(np.int32), cb, 0, np.int32),
         _pad_edge_rows((~has_nabr).astype(np.int32), cb, 0, np.int32),
+        _pad_edge_rows(has_lake_e.astype(np.int32), cb, 0, np.int32),
+        _pad_edge_rows(np.where(has_lake_e, lakenb, 0), cb, 0, np.int32),
     ])
 
     se = np.asarray(md.seg_ele)
@@ -314,7 +339,8 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
     kr = rsg.shape[1]
     rup = _fixed_width_lists(np.where(has_down, dn, -1), nr, pad_idx=nr)
     kup = rup.shape[1]
-    to_lake = np.asarray(md.riv_to_lake) >= 0
+    riv_to_lake = np.asarray(md.riv_to_lake)
+    to_lake = riv_to_lake >= 0
     riv_i = np.stack(
         [
             _pad_rows(has_down.astype(np.int32), rb, 0, np.int32),
@@ -322,6 +348,7 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
             _pad_rows((np.asarray(md.riv_outlet_code) == -4).astype(np.int32),
                       rb, 0, np.int32),
             _pad_rows(to_lake.astype(np.int32), rb, 0, np.int32),
+            _pad_rows(np.where(to_lake, riv_to_lake, 0), rb, 0, np.int32),
             _pad_rows((np.asarray(md.riv_bc) > 0).astype(np.int32), rb, 0,
                       np.int32),
         ]
@@ -329,8 +356,26 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
         + [_pad_rows(rup[:, k], rb, nr, np.int32) for k in range(kup)]
     )
 
+    # per-lake static constants (baked into the kernel as python floats)
+    lb = _rows(nl) if nl > 0 else 0
+    lake_w = np.zeros((max(nl, 1), cb * 128), np.float32)
+    if nl > 0:
+        zmin = tuple(float(v) for v in np.asarray(md.lake_zmin)[:nl])
+        by = tuple(tuple(float(v) for v in row)
+                   for row in np.asarray(md.lake_bathy_y)[:nl])
+        ba = tuple(tuple(float(v) for v in row)
+                   for row in np.asarray(md.lake_bathy_a)[:nl])
+        nele = tuple(int(v) for v in np.asarray(md.lake_num_ele)[:nl])
+        lake_meta = (zmin, by, ba, nele)
+        for li in range(nl):
+            cells = np.flatnonzero(i_lake_arr == li + 1)
+            lake_w[li, cells] = 1.0 / max(len(cells), 1)
+    else:
+        lake_meta = ()
+
     return MegaBlocks(
         cb=cb, rb=rb, sb=sb, kc=kc, kr=kr, kup=kup, ne=ne, nr=nr, ns=ns,
+        nl=nl, lb=lb, lake_meta=lake_meta,
         cell_f=np.ascontiguousarray(cell_f, np.float32),
         cell_i=np.ascontiguousarray(cell_i, np.int32),
         edge_f=np.ascontiguousarray(edge_f, np.float32),
@@ -339,6 +384,7 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
         seg_i=np.ascontiguousarray(seg_i, np.int32),
         riv_f=np.ascontiguousarray(riv_f, np.float32),
         riv_i=np.ascontiguousarray(riv_i, np.int32),
+        lake_w=np.ascontiguousarray(lake_w, np.float32),
     )
 
 
@@ -346,8 +392,9 @@ def mega_blocks_to_device(mb: "MegaBlocks | None") -> "MegaBlocks | None":
     if mb is None:
         return None
     kw = {f: getattr(mb, f) for f in
-          ("cb", "rb", "sb", "kc", "kr", "kup", "ne", "nr", "ns")}
-    for f in ("cell_f", "edge_f", "seg_f", "riv_f"):
+          ("cb", "rb", "sb", "kc", "kr", "kup", "ne", "nr", "ns",
+           "nl", "lb", "lake_meta")}
+    for f in ("cell_f", "edge_f", "seg_f", "riv_f", "lake_w"):
         kw[f] = jnp.asarray(getattr(mb, f), jnp.float32)
     for f in ("cell_i", "edge_i", "seg_i", "riv_i"):
         kw[f] = jnp.asarray(getattr(mb, f), jnp.int32)
@@ -375,24 +422,32 @@ def block_seg(mb: MegaBlocks, v):
 
 
 def y_to_z(mb: MegaBlocks, y):
-    """Concatenated state vector -> blocked Z array [3cb+rb, 128]."""
-    ne, nr = mb.ne, mb.nr
-    return jnp.concatenate([
+    """Concatenated state vector -> blocked Z array [3cb+rb+lb, 128]."""
+    ne, nr, nl = mb.ne, mb.nr, mb.nl
+    parts = [
         block_cell(mb, y[:ne]),
         block_cell(mb, y[ne:2 * ne]),
         block_cell(mb, y[2 * ne:3 * ne]),
         block_riv(mb, y[3 * ne:3 * ne + nr]),
-    ], axis=0)
+    ]
+    if mb.lb > 0:
+        v = jnp.asarray(y[3 * ne + nr:3 * ne + nr + nl], jnp.float32)
+        parts.append(
+            jnp.pad(v, (0, mb.lb * 128 - nl)).reshape(mb.lb, 128))
+    return jnp.concatenate(parts, axis=0)
 
 
 def z_to_y(mb: MegaBlocks, z, dtype=jnp.float32):
-    ne, nr, cb = mb.ne, mb.nr, mb.cb
-    return jnp.concatenate([
+    ne, nr, cb, rb = mb.ne, mb.nr, mb.cb, mb.rb
+    parts = [
         z[0:cb].reshape(-1)[:ne],
         z[cb:2 * cb].reshape(-1)[:ne],
         z[2 * cb:3 * cb].reshape(-1)[:ne],
-        z[3 * cb:].reshape(-1)[:nr],
-    ]).astype(dtype)
+        z[3 * cb:3 * cb + rb].reshape(-1)[:nr],
+    ]
+    if mb.lb > 0:
+        parts.append(z[3 * cb + rb:].reshape(-1)[:mb.nl])
+    return jnp.concatenate(parts).astype(dtype)
 
 
 def z_mask(mb: MegaBlocks):
@@ -402,18 +457,41 @@ def z_mask(mb: MegaBlocks):
     mr = np.zeros(mb.rb * 128, np.float32)
     mr[: mb.nr] = 1.0
     mc = mc.reshape(mb.cb, 128)
-    return jnp.asarray(
-        np.concatenate([mc, mc, mc, mr.reshape(mb.rb, 128)], axis=0))
+    parts = [mc, mc, mc, mr.reshape(mb.rb, 128)]
+    if mb.lb > 0:
+        ml = np.zeros(mb.lb * 128, np.float32)
+        ml[: mb.nl] = 1.0
+        parts.append(ml.reshape(mb.lb, 128))
+    return jnp.asarray(np.concatenate(parts, axis=0))
+
+
+# per-window, per-lake forcing scalars (rows of the flake input)
+FLAKE_ROWS = 8  # fixed row count of the flake block (supports nl <= 1024)
 
 
 def forcing_to_blocks(mb: MegaBlocks, fs, seg_ele):
     """Pack a ForcingSlice into the kernel's window inputs:
     (forc_cell [len(FORC_CELL), cb, 128], forc_riv [2, rb, 128],
-    seg_fu_sub [sb, 128])."""
+    seg_fu_sub [sb, 128], flake [2, FLAKE_ROWS, 128]).
+
+    ``flake`` carries the per-lake mean precip / potential open-water evap
+    (the reference's per-lake P/E sums, MD_f.cpp:36-47) at flat lane
+    position l; zeros for lake-free meshes."""
     fcell = jnp.stack([block_cell(mb, getattr(fs, n)) for n in FORC_CELL])
     friv = jnp.stack([block_riv(mb, getattr(fs, n)) for n in FORC_RIV])
     segfu = block_seg(mb, jnp.asarray(fs.fu_sub, jnp.float32)[seg_ele])
-    return fcell, friv, segfu
+    if mb.nl > 0:
+        w = mb.lake_w[:, :mb.ne]  # [nl, ne]
+        p_l = w @ jnp.asarray(fs.prcp, jnp.float32)
+        e_l = w @ jnp.asarray(fs.pot_evap, jnp.float32)
+        pad = FLAKE_ROWS * 128 - mb.nl
+        flake = jnp.stack([
+            jnp.pad(p_l, (0, pad)).reshape(FLAKE_ROWS, 128),
+            jnp.pad(e_l, (0, pad)).reshape(FLAKE_ROWS, 128),
+        ])
+    else:
+        flake = jnp.zeros((2, FLAKE_ROWS, 128), jnp.float32)
+    return fcell, friv, segfu, flake
 
 
 # ---------------------------------------------------------------------------
@@ -784,22 +862,27 @@ def _manning_t(area, rough, r, s, t_area, t_r, t_s, q_pos):
 
 
 def _da_to_dy(da, w_top, s):
+    """Citardauq form 2·da/(w + sqrt(w² + 4s·da)) — cancellation-free
+    (mirrors physics.fun_da_to_dy)."""
     s_abs = jnp.abs(s)
     cc = w_top * w_top + 4.0 * s_abs * da
     sq = jnp.sqrt(jnp.maximum(cc, _TINY))
-    quad = jnp.where(cc < ZERO, -w_top / (2.0 * s_abs),
-                     (-w_top + sq) / (2.0 * s_abs))
+    denom = w_top + sq
+    den_s = jnp.where(denom <= 0.0, 1.0, denom)
+    quad = jnp.where(cc < ZERO, -w_top / (2.0 * s_abs), 2.0 * da / den_s)
     EPS_SLOPE = 0.05e-6
     dy = jnp.where(s_abs < EPS_SLOPE, da / w_top, quad)
-    return jnp.where(da == 0.0, 0.0, dy), (s_abs, cc, sq, quad)
+    return jnp.where(da == 0.0, 0.0, dy), (s_abs, cc, sq, den_s, quad)
 
 
 def _da_to_dy_t(da, w_top, s, t_da, t_wtop, res):
-    s_abs, cc, sq, quad = res
+    s_abs, cc, sq, den_s, quad = res
     t_cc = 2.0 * w_top * t_wtop + 4.0 * s_abs * t_da
     t_sq = jnp.where(cc > _TINY, t_cc / (2.0 * sq), 0.0)
-    t_quad = jnp.where(cc < ZERO, -t_wtop / (2.0 * s_abs),
-                       (-t_wtop + t_sq) / (2.0 * s_abs))
+    t_den = t_wtop + t_sq
+    t_quad = jnp.where(
+        cc < ZERO, -t_wtop / (2.0 * s_abs),
+        (2.0 * t_da * den_s - 2.0 * da * t_den) / (den_s * den_s))
     EPS_SLOPE = 0.05e-6
     t_dy = jnp.where(s_abs < EPS_SLOPE,
                      (t_da * w_top - da * t_wtop) / (w_top * w_top), t_quad)
@@ -812,25 +895,42 @@ def _da_to_dy_t(da, w_top, s, t_da, t_wtop, res):
 
 
 def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
-               fC, fR, segfu, sf_raw, us, gw_raw, rv_raw, tans=None):
+               fC, fR, segfu, fL, sf_raw, us, gw_raw, rv_raw, lk_raw,
+               tans=None):
     """The full RHS dataflow on VMEM-resident values.
 
-    With ``tans=(t_sf, t_us, t_gw, t_rv)`` returns the directional
+    With ``tans=(t_sf, t_us, t_gw, t_rv, t_lk)`` returns the directional
     derivative (recomputing the primal in-register); else the primal.
-    Mirrors ``rhs.rhs_full``'s no-lake f32 fast path stage-for-stage.
+    Mirrors ``rhs.rhs_full``'s f32 fast path stage-for-stage (incl. the
+    lake module when nl > 0: lake-cell overrides, bank weir/Darcy against
+    the in-kernel lake-stage scalars, per-lake masked-sum reductions, and
+    the bathymetry bucket dStage — MD_Lake.cpp / MD_f.cpp:44-47,180-191).
     """
-    cb, rb, sb, kc, kr, kup = meta
+    cb, rb, sb, kc, kr, kup, lb, nl, lake_meta = meta
     c = {n: cF[i] for n, i in CF.items()}
     f = {n: fC[i] for n, i in FC.items()}
     with_t = tans is not None
     if with_t:
-        t_sf, t_us, t_gw_raw, t_rv = tans
+        t_sf, t_us, t_gw_raw, t_rv, t_lk = tans
 
     ibc_pos = cI[CIB["ibc_pos"]] > 0
     ibc_neg = cI[CIB["ibc_neg"]] > 0
     iss_pos = cI[CIB["iss_pos"]] > 0
     iss_neg = cI[CIB["iss_neg"]] > 0
     valid_c = cI[CIB["valid"]] > 0
+
+    # --- lake-stage scalars (nl is tiny; static python loop) ---
+    if nl > 0:
+        is_lake_c = cI[CIB["is_lake"]] > 0
+        zmin_t, bathy_y_t, bathy_a_t, _nele_t = lake_meta
+        ii = jax.lax.broadcasted_iota(jnp.int32, (lb, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (lb, 128), 1)
+        lflat = ii * 128 + jj
+        stg_l = [jnp.sum(jnp.where(lflat == li, lk_raw, 0.0))
+                 for li in range(nl)]
+        if with_t:
+            t_stg_l = [jnp.sum(jnp.where(lflat == li, t_lk, 0.0))
+                       for li in range(nl)]
 
     # --- f_update: BC overrides (MD_update.cpp:102-189) ---
     gw = jnp.where(ibc_pos, f["ele_ybc"], gw_raw)
@@ -857,14 +957,26 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
 
     # --- pointwise cell physics ---
     cu = _update_element(c, sf_raw, us, gw)
+    if nl > 0:
+        # lake-cell overrides (updateLakeElement, Element.cpp:373-383).
+        # Only effkh is observable through neighbour gathers; the vertical
+        # fluxes below are zeroed and the lake cells' own dY rows are
+        # forced to 0 at assembly, exactly like the XLA path.
+        cu["effkh"] = jnp.where(is_lake_c, c["ksat_h"], cu["effkh"])
     et = _et_flux(c, f, sf_raw, us, gw, cu["satn"])
     qi0, qex0, res_inf = _infiltration(c, cu, sf_raw, us, gw, f["net_prcp"])
     q_infil = qi0 * f["fu_surf"]
     q_exfil = qex0 * f["fu_surf"]
     qr0, res_rech = _recharge(c, cu, us, gw)
     q_rech = qr0 * f["fu_sub"]
+    if nl > 0:
+        q_infil = jnp.where(is_lake_c, 0.0, q_infil)
+        q_exfil = jnp.where(is_lake_c, 0.0, q_exfil)
+        q_rech = jnp.where(is_lake_c, 0.0, q_rech)
     if with_t:
         tcu = _update_element_t(c, sf_raw, us, gw, t_us, t_gw, cu)
+        if nl > 0:
+            tcu["effkh"] = jnp.where(is_lake_c, 0.0, tcu["effkh"])
         tet = _et_flux_t(c, f, sf_raw, us, gw, t_sf, t_us, t_gw,
                          tcu["satn"], et)
         t_qi0, t_qex0 = _infiltration_t(c, cu, tcu, sf_raw, us, gw,
@@ -873,6 +985,10 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
         t_qexf = t_qex0 * f["fu_surf"]
         t_qrech = _recharge_t(c, cu, tcu, us, gw, t_us, t_gw, res_rech) \
             * f["fu_sub"]
+        if nl > 0:
+            t_qinf = jnp.where(is_lake_c, 0.0, t_qinf)
+            t_qexf = jnp.where(is_lake_c, 0.0, t_qexf)
+            t_qrech = jnp.where(is_lake_c, 0.0, t_qrech)
 
     # --- 3-edge lateral stencil (MD_ElementFlux.cpp:35-156) ---
     nbq = eI[EI["nbq"]]
@@ -916,8 +1032,6 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
         q_esurf = jnp.where(m_int, q_int, jnp.where(m_bnd, q_bnd, 0.0))
         q_esub0 = jnp.where(m_int, q_sub_int,
                             jnp.where(m_bnd, q_sub_bnd, 0.0))
-    fu_sub3 = rep3(f["fu_sub"])
-    q_esub = q_esub0 * fu_sub3
     if with_t:
         tq_int = _flux_surface_int_t(isf, nsf, t_isf, t_nsf, res_si,
                                      dist, B, ravg, dep3)
@@ -935,6 +1049,82 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
                                  jnp.where(m_bnd, tq_bnd, 0.0))
             t_qesub0 = jnp.where(m_int, tq_sub_int,
                                  jnp.where(m_bnd, tq_sub_bnd, 0.0))
+
+    # --- lake-bank branch (weir + Darcy against the lake stage;
+    #     MD_ElementFlux.cpp:46-53,122; rhs.edge_fluxes lake masks) ---
+    if nl > 0:
+        m_lake_e = eI[EI["m_lake"]] > 0
+        lkq = eI[EI["lk_id"]]
+        lake_e = jnp.zeros_like(isf)
+        for li in range(nl):
+            lake_e = jnp.where(lkq == li, stg_l[li], lake_e)
+        lake_nsf = jnp.maximum(lake_e, 0.0)
+        dzl_e = eF[EF["lk_dzl"]]
+        hi0 = lake_nsf + dzl_e  # y0 = yi + (zi - zbank), f64-precomputed dz
+        dh_w = isf - hi0
+        y_pos = jnp.where(hi0 > 0.0, dh_w, hi0)
+        sq_pos = jnp.sqrt(2.0 * GRAV * jnp.maximum(y_pos, _TINY))
+        c_pos = (hi0 > 0.0) & (isf > 0.01)
+        q_pos = jnp.where(c_pos, 0.6 * sq_pos * B * y_pos * 60.0, 0.0)
+        y_neg = jnp.where(isf > 0.0, -dh_w, hi0)
+        sq_neg = jnp.sqrt(2.0 * GRAV * jnp.maximum(y_neg, _TINY))
+        c_neg = (hi0 > 0.0) & (lake_nsf > 0.01)
+        q_neg = jnp.where(c_neg, -0.6 * sq_neg * B * y_neg * 60.0, 0.0)
+        q_surf_lk = jnp.where(dh_w > 0.0, q_pos, q_neg)
+
+        dzbl_e = eF[EF["lk_dzb"]]
+        dh_lk = (gw3 - lake_e) + dzbl_e
+        ymean_lk = 0.5 * (jnp.maximum(gw3, 0.0) + jnp.maximum(lake_e, 0.0))
+        kmean_lk = 0.5 * (kh3 + nkh)
+        q_sub_lk = kmean_lk * (dh_lk / dist) * ymean_lk * B
+        cut_lk = ((dh_lk > 0.0) & (gw3 <= 0.02)) | (
+            (dh_lk < 0.0) & (lake_e <= 0.02))
+        q_sub_lk = jnp.where(cut_lk, 0.0, q_sub_lk)
+
+        q_esurf = jnp.where(m_lake_e, q_surf_lk, q_esurf)
+        q_esub0 = jnp.where(m_lake_e, q_sub_lk, q_esub0)
+        # per-lake bank totals use the UNSCALED sub flux (reference
+        # asymmetry: fu_sub multiplies the cell side only)
+        q_lk_surf_e = jnp.where(m_lake_e, q_surf_lk, 0.0)
+        q_lk_sub_e = jnp.where(m_lake_e, q_sub_lk, 0.0)
+        if with_t:
+            t_lake_e = jnp.zeros_like(isf)
+            for li in range(nl):
+                t_lake_e = jnp.where(lkq == li, t_stg_l[li], t_lake_e)
+            t_nsf_lk = _dmax0(lake_e, t_lake_e)
+            t_hi0 = t_nsf_lk
+            t_dh_w = t_isf - t_hi0
+            t_y_pos = jnp.where(hi0 > 0.0, t_dh_w, t_hi0)
+            t_sq_pos = jnp.where(y_pos > _TINY,
+                                 2.0 * GRAV * t_y_pos / (2.0 * sq_pos), 0.0)
+            t_q_pos = jnp.where(
+                c_pos, 0.6 * (t_sq_pos * y_pos + sq_pos * t_y_pos) * B
+                * 60.0, 0.0)
+            t_y_neg = jnp.where(isf > 0.0, -t_dh_w, t_hi0)
+            t_sq_neg = jnp.where(y_neg > _TINY,
+                                 2.0 * GRAV * t_y_neg / (2.0 * sq_neg), 0.0)
+            t_q_neg = jnp.where(
+                c_neg, -0.6 * (t_sq_neg * y_neg + sq_neg * t_y_neg) * B
+                * 60.0, 0.0)
+            t_q_surf_lk = jnp.where(dh_w > 0.0, t_q_pos, t_q_neg)
+
+            t_dh_lk = t_gw3 - t_lake_e
+            t_ymean_lk = 0.5 * (_dmax0(gw3, t_gw3)
+                                + _dmax0(lake_e, t_lake_e))
+            t_kmean_lk = 0.5 * (t_kh3 + t_nkh)
+            t_q_sub_lk = (t_kmean_lk * (dh_lk / dist) * ymean_lk
+                          + kmean_lk * (t_dh_lk / dist) * ymean_lk
+                          + kmean_lk * (dh_lk / dist) * t_ymean_lk) * B
+            t_q_sub_lk = jnp.where(cut_lk, 0.0, t_q_sub_lk)
+
+            t_qesurf = jnp.where(m_lake_e, t_q_surf_lk, t_qesurf)
+            t_qesub0 = jnp.where(m_lake_e, t_q_sub_lk, t_qesub0)
+            t_lk_surf_e = jnp.where(m_lake_e, t_q_surf_lk, 0.0)
+            t_lk_sub_e = jnp.where(m_lake_e, t_q_sub_lk, 0.0)
+
+    fu_sub3 = rep3(f["fu_sub"])
+    q_esub = q_esub0 * fu_sub3
+    if with_t:
         t_qesub = t_qesub0 * fu_sub3
 
     def slot_sum(v):
@@ -1058,6 +1248,69 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
         if with_t:
             t_qriv_up = t_qriv_up - g[1]
 
+    # --- lake bucket dStage (MD_f.cpp:44-47,180-191; Lake.cpp:toparea) ---
+    # per-lake scalar reductions over the bank-edge and river buffers;
+    # both the primal and (when with_t) the tangent are accumulated, since
+    # the tangent needs the primal scalars (clamps, 1/area quotient).
+    dlake_blk = None
+    t_dlake_blk = None
+    if nl > 0:
+        rlake_id = rI[RIB["lake_id"]]
+        q_rl = jnp.where(to_lake, q_riv_down, 0.0)
+        if with_t:
+            t_q_rl = jnp.where(to_lake, t_qriv_down, 0.0)
+        dlake_blk = jnp.zeros((lb, 128), jnp.float32)
+        if with_t:
+            t_dlake_blk = jnp.zeros((lb, 128), jnp.float32)
+        for li in range(nl):
+            p_li = jnp.sum(jnp.where(lflat == li, fL[0], 0.0))
+            e_li = jnp.sum(jnp.where(lflat == li, fL[1], 0.0))
+            avail = p_li + stg_l[li]
+            inner = jnp.minimum(e_li, avail)
+            evap = jnp.maximum(0.0, inner)
+            surf_li = jnp.sum(jnp.where(lkq == li, q_lk_surf_e, 0.0))
+            sub_li = jnp.sum(jnp.where(lkq == li, q_lk_sub_e, 0.0))
+            rivin_li = jnp.sum(jnp.where(rlake_id == li, q_rl, 0.0))
+            # piecewise-linear stage->area (sequential scan, Lake.cpp:59-78)
+            yi = bathy_y_t[li]
+            ai = bathy_a_t[li]
+            yq = stg_l[li] + zmin_t[li]
+            ta = jnp.asarray(ai[0], jnp.float32)
+            done = yq <= yi[0]
+            if with_t:
+                t_yq = t_stg_l[li]
+                t_ta = jnp.zeros((), jnp.float32)
+            for i in range(1, len(yi)):
+                below = yq < yi[i]
+                eq = yi[i] == yq
+                denom = jnp.where(eq, 1.0, yi[i] - yq)
+                u = ai[i] - ta
+                v = (yq - yi[i - 1]) / denom
+                interp = u * v + ta
+                new_ta = jnp.where(below, interp, ai[i])
+                if with_t:
+                    t_denom = jnp.where(eq, 0.0, -t_yq)
+                    t_v = (t_yq * denom - (yq - yi[i - 1]) * t_denom) \
+                        / (denom * denom)
+                    t_interp = -t_ta * v + u * t_v + t_ta
+                    t_new = jnp.where(below, t_interp, 0.0)
+                    t_ta = jnp.where(done, t_ta, t_new)
+                ta = jnp.where(done, ta, new_ta)
+                done = done | below
+            inflow = rivin_li + sub_li + surf_li
+            dl = p_li - evap + inflow / ta
+            dlake_blk = dlake_blk + jnp.where(lflat == li, dl, 0.0)
+            if with_t:
+                t_inner = _dmin(e_li, avail, jnp.zeros((), jnp.float32),
+                                t_stg_l[li])
+                t_evap = _dmax0(inner, t_inner)
+                t_surf_li = jnp.sum(jnp.where(lkq == li, t_lk_surf_e, 0.0))
+                t_sub_li = jnp.sum(jnp.where(lkq == li, t_lk_sub_e, 0.0))
+                t_rivin_li = jnp.sum(jnp.where(rlake_id == li, t_q_rl, 0.0))
+                t_inflow = t_rivin_li + t_sub_li + t_surf_li
+                t_dl = -t_evap + (t_inflow * ta - inflow * t_ta) / (ta * ta)
+                t_dlake_blk = t_dlake_blk + jnp.where(lflat == li, t_dl, 0.0)
+
     # --- assembly (f_applyDY, MD_f.cpp:52-215) ---
     area = c["area"]
     q_surf_tot = e2r_surf + slot_sum(q_esurf)
@@ -1073,16 +1326,21 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
         dgw = dgw + jnp.where(iss_neg, f["ele_qss"] / area, 0.0)
         dus = dus / c["sy"]
         dgw = dgw / c["sy"]
-        dsf = jnp.where(valid_c, dsf, 0.0)
-        dus = jnp.where(valid_c, dus, 0.0)
-        dgw = jnp.where(valid_c, dgw, 0.0)
+        if nl > 0:
+            # lake cells carry no cell ODE (f_applyDY lake override)
+            valid_nl = valid_c & ~is_lake_c
+        else:
+            valid_nl = valid_c
+        dsf = jnp.where(valid_nl, dsf, 0.0)
+        dus = jnp.where(valid_nl, dus, 0.0)
+        dgw = jnp.where(valid_nl, dgw, 0.0)
 
         da_raw = (-q_riv_up - q_riv_surf - q_riv_sub - q_riv_down
                   + fR[FR["riv_qbc"]]) / rF[RF["length"]]
         d_area = jnp.maximum(da_raw, -r_csa)
         driv, _ = _da_to_dy(d_area, r_topw, bs)
         driv = jnp.where(riv_bcpos, 0.0, driv) * riv_valid
-        return dsf, dus, dgw, driv
+        return dsf, dus, dgw, driv, dlake_blk
 
     t_dsf = -t_qinf + t_qexf - (t_e2r_surf + slot_sum(t_qesurf)) / area \
         - tet["es"]
@@ -1092,9 +1350,13 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
     t_dgw = jnp.where(ibc_pos, 0.0, t_dgw)
     t_dus = t_dus / c["sy"]
     t_dgw = t_dgw / c["sy"]
-    t_dsf = jnp.where(valid_c, t_dsf, 0.0)
-    t_dus = jnp.where(valid_c, t_dus, 0.0)
-    t_dgw = jnp.where(valid_c, t_dgw, 0.0)
+    if nl > 0:
+        valid_nl = valid_c & ~is_lake_c
+    else:
+        valid_nl = valid_c
+    t_dsf = jnp.where(valid_nl, t_dsf, 0.0)
+    t_dus = jnp.where(valid_nl, t_dus, 0.0)
+    t_dgw = jnp.where(valid_nl, t_dgw, 0.0)
 
     da_raw = (-q_riv_up - q_riv_surf - q_riv_sub - q_riv_down
               + fR[FR["riv_qbc"]]) / rF[RF["length"]]
@@ -1105,41 +1367,44 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
     _, res_dy = _da_to_dy(d_area, r_topw, bs)
     t_driv = _da_to_dy_t(d_area, r_topw, bs, t_darea, t_topw, res_dy)
     t_driv = jnp.where(riv_bcpos, 0.0, t_driv) * riv_valid
-    return t_dsf, t_dus, t_dgw, t_driv
+    return t_dsf, t_dus, t_dgw, t_driv, t_dlake_blk
 
 
-def _split_z(z, cb):
-    return z[0:cb], z[cb:2 * cb], z[2 * cb:3 * cb], z[3 * cb:]
+def _split_z(z, cb, rb):
+    return (z[0:cb], z[cb:2 * cb], z[2 * cb:3 * cb],
+            z[3 * cb:3 * cb + rb], z[3 * cb + rb:])
 
 
 def _mega_kernel(close_boundary, meta,
                  cf_ref, ci_ref, ef_ref, ei_ref, sf_ref, si_ref, rf_ref,
-                 ri_ref, fc_ref, fr_ref, segfu_ref, z_ref, out_ref):
-    cb = meta[0]
-    ysf, yus, ygw, yrv = _split_z(z_ref[...], cb)
-    dsf, dus, dgw, drv = _mega_core(
+                 ri_ref, fc_ref, fr_ref, segfu_ref, fl_ref, z_ref, out_ref):
+    cb, rb = meta[0], meta[1]
+    ysf, yus, ygw, yrv, ylk = _split_z(z_ref[...], cb, rb)
+    dsf, dus, dgw, drv, dlk = _mega_core(
         close_boundary, meta,
         cf_ref[...], ci_ref[...], ef_ref[...], ei_ref[...],
         sf_ref[...], si_ref[...], rf_ref[...], ri_ref[...],
-        fc_ref[...], fr_ref[...], segfu_ref[...],
-        ysf, yus, ygw, yrv)
-    out_ref[...] = jnp.concatenate([dsf, dus, dgw, drv], axis=0)
+        fc_ref[...], fr_ref[...], segfu_ref[...], fl_ref[...],
+        ysf, yus, ygw, yrv, ylk)
+    parts = [dsf, dus, dgw, drv] + ([dlk] if dlk is not None else [])
+    out_ref[...] = jnp.concatenate(parts, axis=0)
 
 
 def _mega_kernel_jvp(close_boundary, meta,
                      cf_ref, ci_ref, ef_ref, ei_ref, sf_ref, si_ref, rf_ref,
-                     ri_ref, fc_ref, fr_ref, segfu_ref, z_ref, tz_ref,
-                     out_ref):
-    cb = meta[0]
-    ysf, yus, ygw, yrv = _split_z(z_ref[...], cb)
-    tsf, tus, tgw, trv = _split_z(tz_ref[...], cb)
-    odsf, odus, odgw, odrv = _mega_core(
+                     ri_ref, fc_ref, fr_ref, segfu_ref, fl_ref, z_ref,
+                     tz_ref, out_ref):
+    cb, rb = meta[0], meta[1]
+    ysf, yus, ygw, yrv, ylk = _split_z(z_ref[...], cb, rb)
+    tsf, tus, tgw, trv, tlk = _split_z(tz_ref[...], cb, rb)
+    odsf, odus, odgw, odrv, odlk = _mega_core(
         close_boundary, meta,
         cf_ref[...], ci_ref[...], ef_ref[...], ei_ref[...],
         sf_ref[...], si_ref[...], rf_ref[...], ri_ref[...],
-        fc_ref[...], fr_ref[...], segfu_ref[...],
-        ysf, yus, ygw, yrv, tans=(tsf, tus, tgw, trv))
-    out_ref[...] = jnp.concatenate([odsf, odus, odgw, odrv], axis=0)
+        fc_ref[...], fr_ref[...], segfu_ref[...], fl_ref[...],
+        ysf, yus, ygw, yrv, ylk, tans=(tsf, tus, tgw, trv, tlk))
+    parts = [odsf, odus, odgw, odrv] + ([odlk] if odlk is not None else [])
+    out_ref[...] = jnp.concatenate(parts, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -1158,24 +1423,39 @@ def _statics(mb: MegaBlocks):
 
 
 def _out_shape(mb: MegaBlocks):
-    return jax.ShapeDtypeStruct((3 * mb.cb + mb.rb, 128), jnp.float32)
+    return jax.ShapeDtypeStruct((3 * mb.cb + mb.rb + mb.lb, 128),
+                                jnp.float32)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6))
-def _mega_call(mb, fcell, friv, segfu, z, close_boundary, interpret):
+def _meta(mb: MegaBlocks):
+    return (mb.cb, mb.rb, mb.sb, mb.kc, mb.kr, mb.kup, mb.lb, mb.nl,
+            mb.lake_meta)
+
+
+def _compiler_params(mb: MegaBlocks):
+    """Mosaic params: the tangent kernel's live primal+tangent
+    intermediates overflow the 16 MiB default scoped-vmem limit on larger
+    meshes (qhh); raise the cap (v5e has ~128 MiB VMEM/core)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+def _mega_call(mb, fcell, friv, segfu, flake, z, close_boundary, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    meta = (mb.cb, mb.rb, mb.sb, mb.kc, mb.kr, mb.kup)
-    kern = functools.partial(_mega_kernel, close_boundary, meta)
+    kern = functools.partial(_mega_kernel, close_boundary, _meta(mb))
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=_out_shape(mb),
             interpret=interpret,
-        )(*_statics(mb), fcell, friv, segfu, z)
+            compiler_params=_compiler_params(mb),
+        )(*_statics(mb), fcell, friv, segfu, flake, z)
     return out
 
 
@@ -1184,37 +1464,41 @@ def _mega_call_jvp(close_boundary, interpret, primals, tangents):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    mb, fcell, friv, segfu, z = primals
-    t_z = tangents[4]
+    mb, fcell, friv, segfu, flake, z = primals
+    t_z = tangents[5]
     # mesh tables and the frozen forcing slice are constants during a
     # solver window; their tangents are ignored (same caveat as
     # pallas_edge — do not differentiate w.r.t. forcing through this op)
-    primal_out = _mega_call(mb, fcell, friv, segfu, z, close_boundary,
-                            interpret)
+    primal_out = _mega_call(mb, fcell, friv, segfu, flake, z,
+                            close_boundary, interpret)
 
-    meta = (mb.cb, mb.rb, mb.sb, mb.kc, mb.kr, mb.kup)
-    kern = functools.partial(_mega_kernel_jvp, close_boundary, meta)
+    kern = functools.partial(_mega_kernel_jvp, close_boundary, _meta(mb))
     with jax.enable_x64(False):
         t_out = pl.pallas_call(
             kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=_out_shape(mb),
             interpret=interpret,
-        )(*_statics(mb), fcell, friv, segfu, z, t_z)
+            compiler_params=_compiler_params(mb),
+        )(*_statics(mb), fcell, friv, segfu, flake, z, t_z)
     return primal_out, t_out
 
 
 def rhs_mega(mb: MegaBlocks, fcell, friv, segfu, z,
              close_boundary: bool = True,
-             interpret: "bool | None" = None):
+             interpret: "bool | None" = None,
+             flake=None):
     """dZ/dt in blocked layout — the whole RHS as ONE kernel launch.
 
-    ``fcell/friv/segfu`` from :func:`forcing_to_blocks` (frozen per solver
-    window); ``z`` the blocked state from :func:`y_to_z`.  Differentiable
-    in ``z`` via the hand-derived tangent kernel; padding lanes of the
-    output are identically zero.
+    ``fcell/friv/segfu/flake`` from :func:`forcing_to_blocks` (frozen per
+    solver window); ``z`` the blocked state from :func:`y_to_z`.
+    Differentiable in ``z`` via the hand-derived tangent kernel; padding
+    lanes of the output are identically zero.
     """
     if interpret is None:
         interpret = _interpret_default()
-    return _mega_call(mb, fcell, friv, segfu, z, close_boundary, interpret)
+    if flake is None:
+        flake = jnp.zeros((2, FLAKE_ROWS, 128), jnp.float32)
+    return _mega_call(mb, fcell, friv, segfu, flake, z, close_boundary,
+                      interpret)

@@ -224,17 +224,18 @@ def run_interval(
                 forcing_to_blocks, rhs_mega, z_to_y,
             )
 
-            fcell, friv, segfu = forcing_to_blocks(mbd, fs, dm.seg_ele)
+            fcell, friv, segfu, flake = forcing_to_blocks(
+                mbd, fs, dm.seg_ele)
 
             def f(tt, zz, params):
-                fc_, fr_, sg_ = params
+                fc_, fr_, sg_, fl_ = params
                 return rhs_mega(mbd, fc_, fr_, sg_, zz,
-                                close_boundary=close_boundary)
+                                close_boundary=close_boundary, flake=fl_)
 
             qfn = ((lambda tt, zz, _p: quad_rates(tt, z_to_y(mbd, zz)))
                    if st.quad is not None else None)
-            st = _solve_to_inner(f, st, tout, (fcell, friv, segfu), cfg,
-                                 qfn, ewt_scale)
+            st = _solve_to_inner(f, st, tout, (fcell, friv, segfu, flake),
+                                 cfg, qfn, ewt_scale)
             y = z_to_y(mbd, st.y)
         else:
             def f(tt, yy, params):
@@ -368,8 +369,9 @@ class FusedSimulation:
             from shud_tpu.core.pallas_edge import build_edge_blocks
 
             md.edge_blocks = build_edge_blocks(md)
-        # whole-RHS Pallas megakernel (core/pallas_mega.py): f32, no lakes,
-        # VMEM-resident mesh.  One kernel launch per RHS eval (and one per
+        # whole-RHS Pallas megakernel (core/pallas_mega.py): f32,
+        # VMEM-resident mesh (lakes supported — the lake stages ride in a
+        # dedicated Z block).  One kernel launch per RHS eval (and one per
         # J·v) removes the per-op fixed costs that dominate small meshes;
         # the solver carries the state in the kernel's blocked Z layout.
         mbd = None
@@ -390,7 +392,7 @@ class FusedSimulation:
                 m = z_mask(mbd)
                 # zero padding lanes out of the WRMS norm and rescale so
                 # the norm equals the unpadded layout's exactly
-                n_active = 3 * md.num_ele + md.num_riv
+                n_active = 3 * md.num_ele + md.num_riv + md.num_lake
                 ewt_scale = m * np.sqrt(m.size / n_active).astype(np.float32)
         dm = to_device(md, float_dtype)
         fd = float_dtype

@@ -56,7 +56,7 @@ def _mk_forcing(md, rng, with_bc=False):
 
 
 def _mk_state(md, rng):
-    ne, nr = md.num_ele, md.num_riv
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     sf = np.abs(rng.normal(0.005, 0.01, ne))
     sf[::7] = 0.0  # dry cells
     us = np.abs(rng.normal(0.1, 0.1, ne))
@@ -65,7 +65,12 @@ def _mk_state(md, rng):
     gw[::13] = np.asarray(md.aq_depth)[::13] + 0.01  # gw at surface
     riv = np.abs(rng.normal(0.3, 0.2, nr))
     riv[::5] = 0.0
-    return np.concatenate([sf, us, gw, riv]).astype(np.float32)
+    parts = [sf, us, gw, riv]
+    if nl > 0:
+        # plausible stages above the bathymetry base
+        lake = np.abs(rng.normal(5.0, 2.0, nl)) + 1.0
+        parts.append(lake)
+    return np.concatenate(parts).astype(np.float32)
 
 
 def _setup(mesh_fixture, with_bc, seed=0):
@@ -89,10 +94,10 @@ def _run_both(md, dm, mb, mbd, fs32, y, close_boundary):
     dy_ref = np.asarray(
         rhs(dm, fs32, 0.0, jnp.asarray(y), close_boundary=close_boundary)
     )
-    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+    fcell, friv, segfu, flake = forcing_to_blocks(mbd, fs32, dm.seg_ele)
     z = y_to_z(mbd, jnp.asarray(y))
     dz = rhs_mega(mbd, fcell, friv, segfu, z,
-                  close_boundary=close_boundary)
+                  close_boundary=close_boundary, flake=flake)
     dy_mega = np.asarray(z_to_y(mbd, dz))
     return dy_ref, dy_mega, dz
 
@@ -122,6 +127,55 @@ def test_mega_matches_xla_heihe(heihe):
     assert rel.max() < 2e-4, f"max rel {rel.max():.3e}"
 
 
+def test_mega_matches_xla_qhh(qhh):
+    """Lake watershed: lake-cell overrides, bank weir/Darcy against the
+    in-kernel lake-stage scalars, per-lake reductions and the bathymetry
+    bucket dStage all inside the megakernel."""
+    md, dm, mb, mbd, fs32, y = _setup(qhh, False)
+    assert mbd.nl == md.num_lake > 0 and mbd.lb > 0
+    dy_ref, dy_mega, dz = _run_both(md, dm, mb, mbd, fs32, y, True)
+    scale = np.maximum(np.abs(dy_ref), 1e-7)
+    rel = np.abs(dy_mega - dy_ref) / scale
+    assert rel.max() < 2e-4, (
+        f"max rel {rel.max():.3e} at {rel.argmax()} "
+        f"(ref {dy_ref[rel.argmax()]:.6e} mega {dy_mega[rel.argmax()]:.6e})"
+    )
+    mask = np.asarray(z_mask(mbd))
+    assert np.all(np.asarray(dz) * (1.0 - mask) == 0.0)
+
+
+def test_mega_jvp_matches_xla_qhh(qhh):
+    """Tangent kernel through the lake module (bank fluxes, evap clamp,
+    bathymetry interp) vs jax.jvp of the XLA RHS."""
+    md, dm, mb, mbd, fs32, y = _setup(qhh, False, seed=9)
+    rng = np.random.default_rng(17)
+    v = rng.normal(0, 1.0, y.shape[0]).astype(np.float32)
+
+    def f_ref(yy):
+        return rhs(dm, fs32, 0.0, yy, close_boundary=True)
+
+    _, jv_ref = jax.jvp(f_ref, (jnp.asarray(y),), (jnp.asarray(v),))
+    jv_ref = np.asarray(jv_ref)
+
+    fcell, friv, segfu, flake = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+
+    def f_mega(z):
+        return rhs_mega(mbd, fcell, friv, segfu, z, close_boundary=True,
+                        flake=flake)
+
+    zb = y_to_z(mbd, jnp.asarray(y))
+    vb = y_to_z(mbd, jnp.asarray(v))
+    _, jvb = jax.jvp(f_mega, (zb,), (vb,))
+    jv_mega = np.asarray(z_to_y(mbd, jvb))
+
+    scale = np.maximum(np.abs(jv_ref), 1e-5)
+    rel = np.abs(jv_mega - jv_ref) / scale
+    assert rel.max() < 5e-4, (
+        f"max rel {rel.max():.3e} at {rel.argmax()} "
+        f"(ref {jv_ref[rel.argmax()]:.6e} mega {jv_mega[rel.argmax()]:.6e})"
+    )
+
+
 @pytest.mark.parametrize("with_bc", [False, True])
 def test_mega_jvp_matches_xla(ccw, with_bc):
     """Hand-derived tangent kernel vs jax.jvp of the XLA RHS."""
@@ -136,7 +190,7 @@ def test_mega_jvp_matches_xla(ccw, with_bc):
     _, jv_ref = jax.jvp(f_ref, (jnp.asarray(y),), (jnp.asarray(v),))
     jv_ref = np.asarray(jv_ref)
 
-    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+    fcell, friv, segfu, flake = forcing_to_blocks(mbd, fs32, dm.seg_ele)
 
     def f_mega(z):
         return rhs_mega(mbd, fcell, friv, segfu, z, close_boundary=True)
@@ -157,7 +211,7 @@ def test_mega_jvp_matches_xla(ccw, with_bc):
 def test_mega_linearize_reuse(ccw):
     """jax.linearize through the custom JVP (the Newton-Krylov pattern)."""
     md, dm, mb, mbd, fs32, y = _setup(ccw, False, seed=5)
-    fcell, friv, segfu = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+    fcell, friv, segfu, flake = forcing_to_blocks(mbd, fs32, dm.seg_ele)
 
     def f_mega(z):
         return rhs_mega(mbd, fcell, friv, segfu, z, close_boundary=True)

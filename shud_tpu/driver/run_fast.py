@@ -205,10 +205,34 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         from shud_tpu.io.debugtables import write_debug_tables
 
         write_debug_tables(md, sim.inp, paths.outpath)
-    _y0 = sim.y_np()
+    import jax
+
+    def _dev_y(s):
+        """The prognostic state as a DEVICE array in flat layout."""
+        if s.use_mega:
+            from shud_tpu.core.pallas_mega import z_to_y
+
+            return z_to_y(s.mbd, s.bdf.y)
+        return s.bdf.y
+
+    def _fetch(s, extra=None):
+        """ONE batched device->host transfer for everything an interval's
+        bookkeeping needs.  Separate np.asarray() calls each pay a full
+        round-trip through the TPU tunnel (~30 ms); ~40 of them per output
+        interval used to dominate the production loop's wall time."""
+        tree = {
+            "y": _dev_y(s), "ic": s.buckets.ic_stg, "snow": s.buckets.snow,
+            "quad": s.bdf.quad, "nfe": s.bdf.nfe,
+        }
+        if extra:
+            tree.update(extra)
+        return jax.device_get(tree)
+
+    host = _fetch(sim)
+    _y0 = host["y"]
     write_restart(
         os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
-        np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
+        host["ic"], host["snow"],
         _y0[:ne], _y0[ne:2*ne], _y0[2*ne:3*ne], _y0[3*ne:3*ne+nr],
         _y0[3*ne+nr:] if md.num_lake else None,
     )
@@ -218,39 +242,44 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
     tc = TimeContext(sim.inp.forc.start_yyyymmdd)
     wall0 = time.time()
     cpu0 = time.process_time()
-    last_nfe = int(sim.bdf.nfe)  # nonzero after --resume
+    last_nfe = int(host["nfe"])  # nonzero after --resume
     win = cs.solver_step
     while sim.t < t_end - 1e-9:
         this_int = min(interval, t_end - sim.t)
-        y0 = sim.y_np()
-        bk0 = (np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow))
-        quad0 = ({k: float(v) for k, v in sim.bdf.quad.items()}
-                 if sim.bdf.quad is not None else None)
+        y0 = host["y"]
+        bk0 = (host["ic"], host["snow"])
+        quad0 = ({k: float(v) for k, v in host["quad"].items()}
+                 if host["quad"] is not None else None)
         t0 = sim.t
-        mean_e, mean_r, stages, qdowns = sim.advance_interval(this_int)
-        mean_e = {k: np.asarray(v) for k, v in mean_e.items()}
-        mean_r = {k: np.asarray(v) for k, v in mean_r.items()}
-        mean_l = {k: np.asarray(v) for k, v in sim.last_mean_l.items()}
+        mean_e_d, mean_r_d, stages_d, qdowns_d = sim.advance_interval(
+            this_int)
+        host = _fetch(sim, extra={
+            "mean_e": mean_e_d, "mean_r": mean_r_d,
+            "mean_l": sim.last_mean_l, "stages": stages_d,
+            "qdowns": qdowns_d,
+        })
+        mean_e = host["mean_e"]
+        mean_r = host["mean_r"]
+        mean_l = host["mean_l"]
         writer.write(sim.t, mean_e, mean_r, mean_l)
-        stages = np.asarray(stages)
-        qdowns = np.asarray(qdowns)
+        stages = host["stages"]
+        qdowns = host["qdowns"]
         nw = stages.shape[0]
         for w in range(nw):
             flood.check(t0 + (w + 1) * win, stages[w], qdowns[w])
         quad_kwargs = {}
         if quad0 is not None:
-            q1 = {k: float(v) for k, v in sim.bdf.quad.items()}
+            q1 = {k: float(v) for k, v in host["quad"].items()}
             quad_kwargs = dict(et_m3=q1["et"] - quad0["et"],
                                qout_m3=q1["qout"] - quad0["qout"])
-        wb.interval(t0, sim.t, y0, sim.y_np(), mean_e, mean_r,
+        wb.interval(t0, sim.t, y0, host["y"], mean_e, mean_r,
                     buckets0=bk0,
-                    buckets1=(np.asarray(sim.buckets.ic_stg),
-                              np.asarray(sim.buckets.snow)),
+                    buckets1=(host["ic"], host["snow"]),
                     **quad_kwargs)
         if wb_ele is not None:
             wb_ele.push(sim.t, wb.element_residuals(
-                t0, sim.t, y0, sim.y_np(), mean_e))
-        nfe = int(sim.bdf.nfe)
+                t0, sim.t, y0, host["y"], mean_e))
+        nfe = int(host["nfe"])
         perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
         if verbose:
             print(f"{tc.iso(sim.t)}\t{sim.t/1440.0:8.2f} day\t{perc:6.2f}%\t"
@@ -260,7 +289,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         last_nfe = nfe
         # restart snapshot (UpdateICStep-aligned; intervals are multiples)
         if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
-            y = sim.y_np()
+            y = host["y"]
             if not np.isfinite(y).all():
                 bad = int(np.flatnonzero(~np.isfinite(y))[0])
                 raise NanError(
@@ -269,7 +298,7 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
             write_restart(
                 os.path.join(paths.outpath, f"{paths.project}.cfg.ic.update"),
                 sim.t,
-                np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
+                host["ic"], host["snow"],
                 y[:ne], y[ne:2*ne], y[2*ne:3*ne], y[3*ne:3*ne+nr],
                 y[3*ne+nr:] if md.num_lake else None,
             )

@@ -40,8 +40,12 @@ def _state_tree(sim) -> dict:
 
 
 def save_checkpoint(path: str, sim) -> None:
-    """Write the complete simulation state (device pytrees fetched to host)."""
-    leaves = jax.tree_util.tree_flatten_with_path(_state_tree(sim))[0]
+    """Write the complete simulation state (device pytrees fetched to host).
+
+    One batched ``jax.device_get`` — per-leaf ``np.asarray`` fetches each
+    pay a full round-trip through the TPU tunnel."""
+    tree = jax.device_get(_state_tree(sim))
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     payload = {"__t__": np.asarray(float(sim.t))}
     for kp, leaf in leaves:
         payload[_path_str(kp)] = np.asarray(leaf)

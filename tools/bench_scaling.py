@@ -27,7 +27,19 @@ import numpy as np
 def main():
     cells_per_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 
+    # this image's sitecustomize force-registers the single-chip axon TPU
+    # backend; for the virtual-device scaling harness select the CPU
+    # backend explicitly (SHUD_SCALING_NATIVE=1 to skip on a real pod)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        )
+
     import jax
+
+    if os.environ.get("SHUD_SCALING_NATIVE", "0") != "1":
+        jax.config.update("jax_platforms", "cpu")
 
     import shud_tpu  # noqa: F401
     from shud_tpu.core.mesh import build_mesh

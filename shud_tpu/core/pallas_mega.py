@@ -225,7 +225,10 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
     supported: the (few) lake stages ride in a dedicated Z block and the
     per-lake physics runs on in-kernel scalars."""
     ne, nr, ns, nl = md.num_ele, md.num_riv, md.num_seg, md.num_lake
-    if ne > max_cells or nr == 0 or ns == 0 or nl > 1024:
+    # the lake module unrolls nl python iterations (each with a K-step
+    # bathymetry scan + full-array masked reductions, primal AND tangent),
+    # so the static-unroll design only scales to order tens of lakes
+    if ne > max_cells or nr == 0 or ns == 0 or nl > 64:
         return None
     # reserve at least one always-zero padded slot for list padding
     cb = _rows(ne)
@@ -272,10 +275,9 @@ def build_mega_blocks(md, max_cells: int = 32768) -> "MegaBlocks | None":
 
     lakenb = np.asarray(md.lakenabr)
     has_lake_e = lakenb >= 0
-    edge_lake_dzl = (np.asarray(md.edge_lake_dzl)
-                     if md.edge_lake_dzl is not None else np.zeros((ne, 3)))
-    edge_lake_dzb = (np.asarray(md.edge_lake_dzb)
-                     if md.edge_lake_dzb is not None else np.zeros((ne, 3)))
+    # build_mesh always populates these (like rhs.py/partition.py assume)
+    edge_lake_dzl = np.asarray(md.edge_lake_dzl)
+    edge_lake_dzb = np.asarray(md.edge_lake_dzb)
     edge_f = np.stack([
         _pad_edge_rows(md.edge, cb),
         _pad_edge_rows(np.where(has_nabr, md.dist2nabor, 1.0), cb, 1.0),
@@ -1499,6 +1501,11 @@ def rhs_mega(mb: MegaBlocks, fcell, friv, segfu, z,
     if interpret is None:
         interpret = _interpret_default()
     if flake is None:
+        if mb.nl > 0:
+            raise ValueError(
+                "lake mesh requires the flake input from forcing_to_blocks "
+                "(per-lake precip/evap); omitting it would silently drop "
+                "the lakes' P and E terms")
         flake = jnp.zeros((2, FLAKE_ROWS, 128), jnp.float32)
     return _mega_call(mb, fcell, friv, segfu, flake, z, close_boundary,
                       interpret)

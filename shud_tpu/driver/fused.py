@@ -329,13 +329,17 @@ class FusedSimulation:
     def use_mega(self) -> bool:
         return self.mbd is not None
 
-    def y_np(self) -> np.ndarray:
-        """The prognostic state as a flat host array (layout-independent)."""
+    def y_dev(self):
+        """The prognostic state as a flat DEVICE array (layout-independent)."""
         if self.use_mega:
             from shud_tpu.core.pallas_mega import z_to_y
 
-            return np.asarray(z_to_y(self.mbd, self.bdf.y))
-        return np.asarray(self.bdf.y)
+            return z_to_y(self.mbd, self.bdf.y)
+        return self.bdf.y
+
+    def y_np(self) -> np.ndarray:
+        """The prognostic state as a flat host array."""
+        return np.asarray(self.y_dev())
 
     @classmethod
     def create(cls, project: str, base: str = ".", float_dtype=jnp.float64,

@@ -207,21 +207,13 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         write_debug_tables(md, sim.inp, paths.outpath)
     import jax
 
-    def _dev_y(s):
-        """The prognostic state as a DEVICE array in flat layout."""
-        if s.use_mega:
-            from shud_tpu.core.pallas_mega import z_to_y
-
-            return z_to_y(s.mbd, s.bdf.y)
-        return s.bdf.y
-
     def _fetch(s, extra=None):
         """ONE batched device->host transfer for everything an interval's
         bookkeeping needs.  Separate np.asarray() calls each pay a full
         round-trip through the TPU tunnel (~30 ms); ~40 of them per output
         interval used to dominate the production loop's wall time."""
         tree = {
-            "y": _dev_y(s), "ic": s.buckets.ic_stg, "snow": s.buckets.snow,
+            "y": s.y_dev(), "ic": s.buckets.ic_stg, "snow": s.buckets.snow,
             "quad": s.bdf.quad, "nfe": s.bdf.nfe,
         }
         if extra:

@@ -30,15 +30,17 @@ def main():
     # this image's sitecustomize force-registers the single-chip axon TPU
     # backend; for the virtual-device scaling harness select the CPU
     # backend explicitly (SHUD_SCALING_NATIVE=1 to skip on a real pod)
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "--xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        )
+    native = os.environ.get("SHUD_SCALING_NATIVE", "0") == "1"
+    if not native:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            )
 
     import jax
 
-    if os.environ.get("SHUD_SCALING_NATIVE", "0") != "1":
+    if not native:
         jax.config.update("jax_platforms", "cpu")
 
     import shud_tpu  # noqa: F401

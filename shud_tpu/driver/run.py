@@ -87,24 +87,35 @@ class OutputManager:
 
 
 def collect_values(sim: Simulation, fs, cf, diag) -> dict:
-    """Assemble the live-value dict the reference's channels point into."""
+    """Assemble the live-value dict the reference's channels point into.
+
+    ONE batched device->host transfer (separate np.asarray fetches each
+    pay a full TPU-tunnel round-trip; see run_fast.py)."""
+    import jax
+
     ne, nr, nl = sim.md.num_ele, sim.md.num_riv, sim.md.num_lake
-    y = np.asarray(sim.bdf.y)
+    h = jax.device_get({
+        "y": sim.bdf.y, "ic": sim.buckets.ic_stg, "snow": sim.buckets.snow,
+        "prcp": fs.prcp, "net_prcp": fs.net_prcp, "etp": cf.etp,
+        "rn_h": cf.rn_h, "rn_t": cf.rn_t, "rn_factor": cf.rn_factor,
+        "diag": diag,
+    })
+    y = h["y"]
     vals = {
-        "y_ic": np.asarray(sim.buckets.ic_stg),
-        "y_snow": np.asarray(sim.buckets.snow),
+        "y_ic": h["ic"],
+        "y_snow": h["snow"],
         "y_surf": y[:ne],
         "y_unsat": y[ne : 2 * ne],
         "y_gw": y[2 * ne : 3 * ne],
         "y_riv": y[3 * ne : 3 * ne + nr],
-        "prcp": np.asarray(fs.prcp),
-        "net_prcp": np.asarray(fs.net_prcp),
-        "etp": np.asarray(cf.etp),
-        "rn_h": np.asarray(cf.rn_h),
-        "rn_t": np.asarray(cf.rn_t),
-        "rn_factor": np.asarray(cf.rn_factor),
+        "prcp": h["prcp"],
+        "net_prcp": h["net_prcp"],
+        "etp": h["etp"],
+        "rn_h": h["rn_h"],
+        "rn_t": h["rn_t"],
+        "rn_factor": h["rn_factor"],
     }
-    d = {k: np.asarray(v) for k, v in diag.items()}
+    d = h["diag"]
     es, eu, eg, tu, tg = d["es"], d["eu"], d["eg"], d["tu"], d["tg"]
     e_ic = d["e_ic"]
     vals.update(
@@ -123,7 +134,7 @@ def collect_values(sim: Simulation, fs, cf, diag) -> dict:
             q_lake_rivin=d["q_lake_rivin"], q_lake_surf=d["q_lake_surf"],
             q_lake_sub=d["q_lake_sub"],
         )
-    return vals
+    return vals, y
 
 
 def run_project(
@@ -182,12 +193,13 @@ def run_project(
         if not dummy:
             fs, cf = sim.advance_window(tout)
             diag = sim.diagnostics(fs)
-            out.push(sim.t, collect_values(sim, fs, cf, diag))
-            y = np.asarray(sim.bdf.y)
+            vals, y = collect_values(sim, fs, cf, diag)
+            out.push(sim.t, vals)
             flood.check(sim.t, y[3 * ne : 3 * ne + nr],
-                        np.asarray(diag["q_riv_down"]))
+                        vals["q_riv_down"])
         else:
             sim.t = tout
+            y = y0
         nwin += 1
         if sim.t >= next_screen:
             nfe = int(sim.bdf.nfe)
@@ -202,14 +214,14 @@ def run_project(
                        time.time() - wall0, nfe - last_nfe)
             last_nfe = nfe
             next_screen += cs.screen_intv
-        # restart snapshot every UpdateICStep minutes
+        # restart snapshot every UpdateICStep minutes (y from the batched
+        # per-window fetch above)
         if not dummy and int(sim.t) % cs.update_ic_step == 0:
-            y = np.asarray(sim.bdf.y)
             write_restart(
                 os.path.join(paths.outpath,
                              f"{paths.project}.cfg.ic.update"),
                 sim.t,
-                np.asarray(sim.buckets.ic_stg), np.asarray(sim.buckets.snow),
+                vals["y_ic"], vals["y_snow"],
                 y[:ne], y[ne : 2 * ne], y[2 * ne : 3 * ne],
                 y[3 * ne : 3 * ne + nr],
                 y[3 * ne + nr :] if md.num_lake else None,

@@ -255,6 +255,28 @@ def test_mega_driver_path_matches_xla_driver():
         assert abs(qa[k] - qb[k]) <= 1e-4 * max(1.0, abs(qa[k]))
 
 
+@pytest.mark.slow
+def test_mega_driver_path_matches_xla_driver_qhh():
+    """Lake watershed through the FULL solver window path: the blocked-Z
+    state (incl. the lake block), the flake forcing input, and the padded
+    WRMS weights must reproduce the XLA driver's trajectory and NFE."""
+    from shud_tpu.driver.fused import FusedSimulation
+
+    a = FusedSimulation.create("qhh", base="/root/reference",
+                               float_dtype=F32, mega=False)
+    b = FusedSimulation.create("qhh", base="/root/reference",
+                               float_dtype=F32, mega=True)
+    assert b.use_mega and b.mbd.nl == a.md.num_lake > 0
+    a.advance_interval(30.0)
+    b.advance_interval(30.0)
+    ya, yb = a.y_np(), b.y_np()
+    ne, nr = a.md.num_ele, a.md.num_riv
+    assert np.abs(ya - yb).max() < 5e-4
+    # the lake stages themselves
+    assert np.abs(ya[3 * ne + nr:] - yb[3 * ne + nr:]).max() < 5e-5
+    assert abs(int(a.bdf.nfe) - int(b.bdf.nfe)) <= int(0.1 * int(a.bdf.nfe))
+
+
 def test_blocks_roundtrip(ccw):
     _, md, _ = ccw
     mb = build_mega_blocks(md)

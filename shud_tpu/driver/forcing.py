@@ -105,6 +105,24 @@ class ForcingRuntime:
         return out
 
 
+def rebuild_cal(fr: ForcingRuntime, calib) -> ForcingRuntime:
+    """Copy of *fr* with the calibration scalars rebuilt from *calib*.
+
+    The expensive parts of a ForcingRuntime (merged station tables, TSR
+    solar-sample precompute over the whole forcing axis) do not depend on
+    calibration — autocalibration loops reuse them across candidates and
+    only swap the scalars (tools/autocalibrate.py)."""
+    cal = CalibScalars(
+        c_prcp=jnp.asarray(calib.ts_prcp),
+        c_temp=jnp.asarray(calib.ts_sfctmp_add),
+        c_lai=jnp.asarray(calib.ts_lai),
+        c_mf=jnp.asarray(calib.ts_mf),
+        c_etp=jnp.asarray(calib.et_etp),
+        c_ismax=jnp.asarray(calib.lc_ismax),
+    )
+    return dataclasses.replace(fr, cal=cal)
+
+
 def build_forcing(inp: ProjectInput, md: MeshData) -> ForcingRuntime:
     cs = inp.control
     # merge stations onto station-0's time axis (the usual case is a shared

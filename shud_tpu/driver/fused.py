@@ -346,6 +346,7 @@ class FusedSimulation:
                calib=None, pallas_edges: "bool | str" = "auto",
                mega: "bool | str" = "auto", inp: "ProjectInput | None" = None,
                wb_exact: "bool | None" = None,
+               fr: "ForcingRuntime | None" = None,
                **control_overrides):
         if inp is None:
             inp = load_project(project, base=base)
@@ -400,7 +401,14 @@ class FusedSimulation:
                 ewt_scale = m * np.sqrt(m.size / n_active).astype(np.float32)
         dm = to_device(md, float_dtype)
         fd = float_dtype
-        fr = build_forcing(inp, md)
+        if fr is None:
+            fr = build_forcing(inp, md)
+        else:
+            # reuse the expensive station/TSR tables, refresh the
+            # calibration scalars (autocalibration loops; forcing.py)
+            from shud_tpu.driver.forcing import rebuild_cal
+
+            fr = rebuild_cal(fr, inp.calib)
         cs = inp.control
         cfg = SolverConfig(rtol=cs.reltol, atol=cs.abstol,
                            h_init=cs.init_step, h_max=cs.max_step)

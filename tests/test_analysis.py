@@ -76,3 +76,26 @@ def test_debug_tables(tmp_path):
         rrows = f.readlines()
     assert len(rrows) == md.num_riv
     assert "BedSlope" in rheader
+
+
+def test_cma_es_quadratic():
+    """CMA-ES (utils/calibrate.py) converges on a shifted quadratic."""
+    import numpy as np
+
+    from shud_tpu.utils.calibrate import cma_es
+
+    target = np.array([1.7, 0.4, 3.1])
+
+    def f(x):
+        return float(np.sum((x - target) ** 2))
+
+    x, fb, hist = cma_es(f, np.ones(3), sigma0=0.5, max_gen=40, seed=2)
+    assert fb < 1e-3, f"best {fb} at {x}"
+    assert hist[-1] <= hist[0]
+
+
+def test_calib_from_vector_roundtrip():
+    from shud_tpu.utils.calibrate import calib_from_vector
+
+    gc = calib_from_vector(["geol_ksath", "soil_kinf"], [2.5, 0.7])
+    assert gc.geol_ksath == 2.5 and gc.soil_kinf == 0.7

@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Self-contained autocalibration against observed outlet discharge.
+
+The reference's calibration workflow drives an external CMA-ES through
+the `-e dir_cmaes` CLI hook + the `globalCal::copy(varname[], x[])`
+vector API (CommandIn.cpp:210-212, ModelConfigure.cpp:368-375); this
+tool closes the loop in-process: CMA-ES (utils/calibrate.py) proposes
+calibration vectors, each candidate runs the fused TPU driver for
+``--days`` simulated days (same array shapes -> the jitted solver is
+compiled ONCE and reused across all candidates), and the objective is
+-NSE of daily outlet discharge vs the project's ``tsd.obs``.
+
+    python tools/autocalibrate.py ccw --days 60 --gens 8 \
+        --params geol_ksath,soil_kinf,lc_rough
+
+Writes the best calibration to output/<prj>.out/<prj>.cfg.calib.opt
+(same format as .cfg.calib — usable directly with `-c`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("project")
+    ap.add_argument("-b", "--base", default="/root/reference")
+    ap.add_argument("--days", type=float, default=60.0)
+    ap.add_argument("--gens", type=int, default=8)
+    ap.add_argument("--popsize", type=int, default=None)
+    ap.add_argument("--params", default="geol_ksath,soil_kinf,lc_rough",
+                    help="comma-separated calibration keys to optimise")
+    ap.add_argument("--sigma0", type=float, default=0.3)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("-o", "--output", default=None,
+                    help="directory for the optimised calib "
+                         "(default ./output/<prj>.out — NEVER under "
+                         "a read-only --base)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from shud_tpu.analysis import ts2daily
+    from shud_tpu.io.project import load_project
+    from shud_tpu.utils.calibrate import (
+        calib_from_vector,
+        cma_es,
+        nse,
+        run_with_calib,
+    )
+
+    names = [s.strip() for s in args.params.split(",") if s.strip()]
+    fd = jnp.float32 if args.f32 else jnp.float64
+
+    inp0 = load_project(args.project, base=args.base)
+    from shud_tpu.io.project import read_tsd_csv
+
+    obs_path = os.path.join(inp0.paths.inpath,
+                            f"{args.project}.tsd.obs")
+    if not os.path.exists(obs_path):
+        raise SystemExit(f"{args.project} has no tsd.obs — nothing to fit")
+    _, obs_t, obs_data = read_tsd_csv(obs_path)
+    obs_q = obs_data[:, 0]  # gauge discharge [m3/day] (Q_cmd column)
+    # observed daily means over the calibration window [0, days)
+    obs_day = np.floor(obs_t / 1440.0).astype(int)
+    ndays = int(args.days)
+    obs_daily = np.full(ndays, np.nan)
+    for d in range(ndays):
+        m = (obs_day == d)
+        if m.any():
+            obs_daily[d] = np.nanmean(obs_q[m])
+
+    base_calib = inp0.calib
+    n_eval = [0]
+    fr_cache = [None]  # forcing/TSR tables reused across candidates
+
+    def objective(x):
+        gc = calib_from_vector(names, x, base=base_calib)
+        sim = run_with_calib(args.project, args.base, gc, ndays,
+                             float_dtype=fd, inp=inp0, fr=fr_cache[0])
+        fr_cache[0] = sim.fr
+        md = sim.md
+        outlet = np.flatnonzero((np.asarray(md.riv_down) < 0)
+                                & (np.asarray(md.riv_to_lake) < 0))
+        qd = np.zeros(ndays)
+        for d in range(ndays):
+            _, mean_r, _, _ = sim.advance_interval(1440.0)
+            qd[d] = float(np.asarray(mean_r["q_riv_down"])[outlet].sum())
+        sim_daily = np.abs(qd) * 1440.0  # m3/min window-mean -> m3/day
+        score = nse(sim_daily, obs_daily)
+        n_eval[0] += 1
+        print(f"    eval {n_eval[0]}: " +
+              " ".join(f"{n}={v:.3f}" for n, v in zip(names, x)) +
+              f"  NSE={score:.4f}", flush=True)
+        return -score
+
+    x0 = np.array([getattr(base_calib, n) for n in names], dtype=float)
+    lo = np.full(len(names), 0.05)
+    hi = np.full(len(names), 20.0)
+    t0 = time.time()
+    x_best, f_best, hist = cma_es(
+        objective, x0, sigma0=args.sigma0, bounds=(lo, hi),
+        popsize=args.popsize, max_gen=args.gens, seed=1, verbose=True,
+    )
+    print(f"\nbest NSE {-f_best:.4f} after {n_eval[0]} runs "
+          f"({time.time()-t0:.0f}s):")
+    for n, v in zip(names, x_best):
+        print(f"  {n} = {v:.4f}")
+
+    from shud_tpu.io.project import write_calib
+
+    gc = calib_from_vector(names, x_best, base=base_calib)
+    outdir = args.output or os.path.join(
+        os.getcwd(), "output", f"{args.project}.out")
+    os.makedirs(outdir, exist_ok=True)
+    out = os.path.join(outdir, f"{args.project}.cfg.calib.opt")
+    write_calib(gc, out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

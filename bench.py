@@ -59,9 +59,7 @@ def measure_cpp_baseline() -> float:
         return CPP_CELL_EVALS_PER_S_FALLBACK
 
 
-def main():
-    baseline = measure_cpp_baseline()
-
+def _measure():
     import jax
     import jax.numpy as jnp
 
@@ -95,6 +93,38 @@ def main():
         nfe = int(sim.bdf.nfe) - nfe0  # host fetch = true sync
         wall = time.time() - t0
         best = max(best, ne * nfe / wall)
+    return best
+
+
+def main():
+    baseline = measure_cpp_baseline()
+
+    # The TPU tunnel shows occasional transient outages (backend errors or
+    # indefinite stalls).  Run the measurement in a FRESH subprocess with a
+    # timeout and retry — a wedged jax backend cannot be recovered
+    # in-process, and one outage must not lose the round's recorded metric.
+    import subprocess
+
+    best = None
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("MEASURED "):
+                    best = float(line.split()[1])
+            if best is not None:
+                break
+            print(f"bench attempt {attempt + 1} produced no measurement; "
+                  f"stderr tail: {r.stderr[-500:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out", file=sys.stderr)
+        time.sleep(30 * (attempt + 1))
+    if best is None:
+        raise SystemExit("bench failed after retries")
 
     print(json.dumps({
         "metric": "cell_steps_per_s_ccw",
@@ -105,4 +135,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        print("MEASURED %.6g" % _measure())
+    else:
+        main()

@@ -66,7 +66,25 @@ def main(argv=None):
                         "to simulate a pod slice on CPU)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--distributed", nargs="?", const="", default=None,
+                   metavar="COORD:PORT,NPROC,RANK",
+                   help="multi-host pod-slice run: initialise "
+                        "jax.distributed before anything else (bare flag "
+                        "= Cloud TPU autodetect; combine with --shards "
+                        "<global device count>)")
     args = p.parse_args(argv)
+
+    if args.distributed is not None:
+        from shud_tpu.parallel.runtime import init_distributed
+
+        if args.distributed:
+            coord, nproc, rank = args.distributed.rsplit(",", 2)
+            rank_i, n = init_distributed(coord, int(nproc), int(rank))
+        else:
+            rank_i, n = init_distributed()
+        if not args.quiet:
+            print(f"jax.distributed: process {rank_i}, "
+                  f"{n} global devices")
 
     if args.cpu:
         import jax

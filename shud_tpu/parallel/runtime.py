@@ -24,6 +24,33 @@ from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs
 from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host initialisation (SURVEY §2.4: DP across hosts via
+    ``jax.distributed``).
+
+    Call once per host process before any jax use; afterwards
+    ``jax.devices()`` spans the whole pod slice and every sharded
+    construct in this package (RCB partition over the global device
+    count, `shard_map` RHS, psum reductions) works unchanged — GSPMD
+    routes the halo `all_gather` over ICI within a slice and DCN across
+    slices.  Arguments default to the standard TPU pod environment
+    (`jax.distributed.initialize()` autodetects on Cloud TPU); pass them
+    explicitly elsewhere (coordinator `"host0:8476"`, total process
+    count, this host's rank).
+
+    Returns (process_index, global_device_count)."""
+    import jax
+
+    kw = {}
+    if coordinator is not None:
+        kw = dict(coordinator_address=coordinator,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+    return jax.process_index(), len(jax.devices())
+
+
 def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                            t: float, tout: float,
                            buckets: BucketState | None = None,

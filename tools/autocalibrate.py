@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--params", default="geol_ksath,soil_kinf,lc_rough",
                     help="comma-separated calibration keys to optimise")
     ap.add_argument("--sigma0", type=float, default=0.3)
+    ap.add_argument("--warmup", type=float, default=0.0,
+                    help="spin-up days excluded from the NSE score "
+                         "(simulated but not fitted)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("-o", "--output", default=None,
                     help="directory for the optimised calib "
@@ -95,7 +98,8 @@ def main():
             _, mean_r, _, _ = sim.advance_interval(1440.0)
             qd[d] = float(np.asarray(mean_r["q_riv_down"])[outlet].sum())
         sim_daily = np.abs(qd) * 1440.0  # m3/min window-mean -> m3/day
-        score = nse(sim_daily, obs_daily)
+        w0 = int(args.warmup)
+        score = nse(sim_daily[w0:], obs_daily[w0:])
         n_eval[0] += 1
         print(f"    eval {n_eval[0]}: " +
               " ".join(f"{n}={v:.3f}" for n, v in zip(names, x)) +

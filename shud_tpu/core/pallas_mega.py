@@ -137,6 +137,15 @@ RIB = {k: i for i, k in enumerate(RIV_I_BASE)}
 FC = {k: i for i, k in enumerate(FORC_CELL)}
 FR = {k: i for i, k in enumerate(FORC_RIV)}
 
+# diagnostics emitted by the diag kernel (rhs_mega_diag) — the per-window
+# output/accumulation fields the driver needs (driver/fused.py ACCUM_*),
+# matching rhs.rhs_full's diag dict entries of the same names
+DIAG_CELL = ("q_rech", "q_sub_tot", "q_surf_tot", "q_e2r_sub", "q_e2r_surf",
+             "q_infil", "q_exfil", "es", "eu", "eg", "tu", "tg", "e_ic")
+DIAG_RIV = ("q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf")
+DIAG_LAKE = ("lake_area", "q_lake_evap", "q_lake_prcp", "q_lake_rivin",
+             "q_lake_surf", "q_lake_sub")
+
 
 @dataclasses.dataclass
 class MegaBlocks:
@@ -898,7 +907,7 @@ def _da_to_dy_t(da, w_top, s, t_da, t_wtop, res):
 
 def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
                fC, fR, segfu, fL, sf_raw, us, gw_raw, rv_raw, lk_raw,
-               tans=None):
+               tans=None, want_diag=False):
     """The full RHS dataflow on VMEM-resident values.
 
     With ``tans=(t_sf, t_us, t_gw, t_rv, t_lk)`` returns the directional
@@ -907,6 +916,11 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
     lake module when nl > 0: lake-cell overrides, bank weir/Darcy against
     the in-kernel lake-stage scalars, per-lake masked-sum reductions, and
     the bathymetry bucket dStage — MD_Lake.cpp / MD_f.cpp:44-47,180-191).
+
+    ``want_diag`` (primal only): additionally returns the driver's
+    per-window diagnostic fields (DIAG_CELL/DIAG_RIV/DIAG_LAKE blocks),
+    mirroring ``rhs.rhs_full``'s diag dict — so one extra kernel launch
+    replaces the whole XLA diagnostics RHS in the fused driver.
     """
     cb, rb, sb, kc, kr, kup, lb, nl, lake_meta = meta
     c = {n: cF[i] for n, i in CF.items()}
@@ -1256,6 +1270,9 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
     # the tangent needs the primal scalars (clamps, 1/area quotient).
     dlake_blk = None
     t_dlake_blk = None
+    diag_lake = {}
+    if nl > 0 and want_diag:
+        diag_lake = {k: jnp.zeros((lb, 128), jnp.float32) for k in DIAG_LAKE}
     if nl > 0:
         rlake_id = rI[RIB["lake_id"]]
         q_rl = jnp.where(to_lake, q_riv_down, 0.0)
@@ -1302,6 +1319,14 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
             inflow = rivin_li + sub_li + surf_li
             dl = p_li - evap + inflow / ta
             dlake_blk = dlake_blk + jnp.where(lflat == li, dl, 0.0)
+            if want_diag:
+                sel_l = lflat == li
+                for k, v in (("lake_area", ta), ("q_lake_evap", evap),
+                             ("q_lake_prcp", p_li),
+                             ("q_lake_rivin", rivin_li),
+                             ("q_lake_surf", surf_li),
+                             ("q_lake_sub", sub_li)):
+                    diag_lake[k] = diag_lake[k] + jnp.where(sel_l, v, 0.0)
             if with_t:
                 t_inner = _dmin(e_li, avail, jnp.zeros((), jnp.float32),
                                 t_stg_l[li])
@@ -1342,7 +1367,47 @@ def _mega_core(close_boundary, meta, cF, cI, eF, eI, sF, sI, rF, rI,
         d_area = jnp.maximum(da_raw, -r_csa)
         driv, _ = _da_to_dy(d_area, r_topw, bs)
         driv = jnp.where(riv_bcpos, 0.0, driv) * riv_valid
-        return dsf, dus, dgw, driv, dlake_blk
+        if not want_diag:
+            return dsf, dus, dgw, driv, dlake_blk
+        # --- diagnostics (rhs_full's diag dict, driver accumulation set).
+        # Lake-cell zeroing mirrors rhs_full lines 416-439: vertical/ET
+        # terms and the cells' own lateral sums are zero on lake cells
+        # (their dY rows are excluded anyway; only the reported means
+        # care).
+        pj = 1.0 - c["imp_af"]
+        va = c["veg_frac"]
+        has_veg = f["lai"] > ZERO
+        ic_dom = f["e_ic"] >= f["pot_tran"]
+        e_ic_out = jnp.where(
+            has_veg, jnp.where(ic_dom, f["pot_tran"] * pj * va, f["e_ic"]),
+            0.0)
+        d_es, d_eu, d_eg = et["es"], et["eu"], et["eg"]
+        d_tu, d_tg = et["tu"], et["tg"]
+        own_surf = slot_sum(q_esurf)
+        own_sub = slot_sum(q_esub)
+        if nl > 0:
+            d_es = jnp.where(is_lake_c, 0.0, d_es)
+            d_eu = jnp.where(is_lake_c, 0.0, d_eu)
+            d_eg = jnp.where(is_lake_c, 0.0, d_eg)
+            d_tu = jnp.where(is_lake_c, 0.0, d_tu)
+            d_tg = jnp.where(is_lake_c, 0.0, d_tg)
+            e_ic_out = jnp.where(is_lake_c, 0.0, e_ic_out)
+            own_surf = jnp.where(is_lake_c, 0.0, own_surf)
+            own_sub = jnp.where(is_lake_c, 0.0, own_sub)
+        diag_cell = {
+            "q_rech": q_rech, "q_sub_tot": e2r_sub + own_sub,
+            "q_surf_tot": e2r_surf + own_surf,
+            "q_e2r_sub": e2r_sub, "q_e2r_surf": e2r_surf,
+            "q_infil": q_infil, "q_exfil": q_exfil,
+            "es": d_es, "eu": d_eu, "eg": d_eg, "tu": d_tu, "tg": d_tg,
+            "e_ic": e_ic_out,
+        }
+        diag_riv = {
+            "q_riv_up": q_riv_up, "q_riv_down": q_riv_down,
+            "q_riv_sub": q_riv_sub, "q_riv_surf": q_riv_surf,
+        }
+        return dsf, dus, dgw, driv, dlake_blk, (diag_cell, diag_riv,
+                                                diag_lake)
 
     t_dsf = -t_qinf + t_qexf - (t_e2r_surf + slot_sum(t_qesurf)) / area \
         - tet["es"]
@@ -1389,6 +1454,23 @@ def _mega_kernel(close_boundary, meta,
         fc_ref[...], fr_ref[...], segfu_ref[...], fl_ref[...],
         ysf, yus, ygw, yrv, ylk)
     parts = [dsf, dus, dgw, drv] + ([dlk] if dlk is not None else [])
+    out_ref[...] = jnp.concatenate(parts, axis=0)
+
+
+def _mega_diag_kernel(close_boundary, meta,
+                      cf_ref, ci_ref, ef_ref, ei_ref, sf_ref, si_ref,
+                      rf_ref, ri_ref, fc_ref, fr_ref, segfu_ref, fl_ref,
+                      z_ref, out_ref):
+    cb, rb = meta[0], meta[1]
+    ysf, yus, ygw, yrv, ylk = _split_z(z_ref[...], cb, rb)
+    _, _, _, _, _, (dc, dr, dl) = _mega_core(
+        close_boundary, meta,
+        cf_ref[...], ci_ref[...], ef_ref[...], ei_ref[...],
+        sf_ref[...], si_ref[...], rf_ref[...], ri_ref[...],
+        fc_ref[...], fr_ref[...], segfu_ref[...], fl_ref[...],
+        ysf, yus, ygw, yrv, ylk, want_diag=True)
+    parts = ([dc[k] for k in DIAG_CELL] + [dr[k] for k in DIAG_RIV]
+             + ([dl[k] for k in DIAG_LAKE] if dl else []))
     out_ref[...] = jnp.concatenate(parts, axis=0)
 
 
@@ -1509,3 +1591,50 @@ def rhs_mega(mb: MegaBlocks, fcell, friv, segfu, z,
         flake = jnp.zeros((2, FLAKE_ROWS, 128), jnp.float32)
     return _mega_call(mb, fcell, friv, segfu, flake, z, close_boundary,
                       interpret)
+
+
+def rhs_mega_diag(mb: MegaBlocks, fcell, friv, segfu, z,
+                  close_boundary: bool = True,
+                  interpret: "bool | None" = None,
+                  flake=None):
+    """Per-window diagnostic fields as ONE kernel launch (not
+    differentiated): a dict of flat f32 arrays keyed by
+    DIAG_CELL ([ne]) + DIAG_RIV ([nr]) + DIAG_LAKE ([nl], lake meshes),
+    matching ``rhs.rhs_full``'s diag entries of the same names.  Replaces
+    the driver's XLA diagnostics RHS (the ~40-op chain that dominated
+    small-mesh wall time — docs/PERF.md)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _interpret_default()
+    if flake is None:
+        if mb.nl > 0:
+            raise ValueError(
+                "lake mesh requires the flake input from forcing_to_blocks")
+        flake = jnp.zeros((2, FLAKE_ROWS, 128), jnp.float32)
+    nlake_f = len(DIAG_LAKE) if mb.nl > 0 else 0
+    rows = len(DIAG_CELL) * mb.cb + len(DIAG_RIV) * mb.rb + nlake_f * mb.lb
+    kern = functools.partial(_mega_diag_kernel, close_boundary, _meta(mb))
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            interpret=interpret,
+            compiler_params=_compiler_params(mb),
+        )(*_statics(mb), fcell, friv, segfu, flake, z)
+    diag = {}
+    off = 0
+    for k in DIAG_CELL:
+        diag[k] = out[off:off + mb.cb].reshape(-1)[:mb.ne]
+        off += mb.cb
+    for k in DIAG_RIV:
+        diag[k] = out[off:off + mb.rb].reshape(-1)[:mb.nr]
+        off += mb.rb
+    if mb.nl > 0:
+        for k in DIAG_LAKE:
+            diag[k] = out[off:off + mb.lb].reshape(-1)[:mb.nl]
+            off += mb.lb
+    return diag

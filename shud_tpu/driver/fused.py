@@ -247,8 +247,17 @@ def run_interval(
             st = _solve_to_inner(f, st, tout, (dm, fs), cfg, qfn)
             y = st.y
 
-        # diagnostics at the accepted state (one extra RHS eval)
-        _, diag = rhs_full(dm, fs, tout, y, close_boundary=close_boundary)
+        # diagnostics at the accepted state (one extra RHS eval).  On the
+        # megakernel path this is one extra kernel launch — the XLA
+        # rhs_full chain here cost more than the entire solve on small
+        # meshes (docs/PERF.md).
+        if use_mega:
+            from shud_tpu.core.pallas_mega import rhs_mega_diag
+
+            diag = rhs_mega_diag(mbd, fcell, friv, segfu, st.y,
+                                 close_boundary=close_boundary, flake=flake)
+        else:
+            _, diag = rhs_full(dm, fs, tout, y, close_boundary=close_boundary)
         es, eu, eg = diag["es"], diag["eu"], diag["eg"]
         tu, tg, e_ic = diag["tu"], diag["tg"], diag["e_ic"]
         vals_e = {

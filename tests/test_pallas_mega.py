@@ -277,6 +277,41 @@ def test_mega_driver_path_matches_xla_driver_qhh():
     assert abs(int(a.bdf.nfe) - int(b.bdf.nfe)) <= int(0.1 * int(a.bdf.nfe))
 
 
+@pytest.mark.parametrize("fixture_name", ["ccw", "qhh"])
+def test_mega_diag_matches_xla(request, fixture_name):
+    """rhs_mega_diag (the driver's one-launch diagnostics) vs rhs_full's
+    diag dict — every accumulation field the fused driver consumes."""
+    from shud_tpu.core.pallas_mega import (
+        DIAG_CELL, DIAG_LAKE, DIAG_RIV, rhs_mega_diag,
+    )
+    from shud_tpu.core.rhs import rhs_full
+
+    md, dm, mb, mbd, fs32, y = _setup(request.getfixturevalue(fixture_name),
+                                      False, seed=2)
+    _, diag_ref = rhs_full(dm, fs32, 0.0, jnp.asarray(y),
+                           close_boundary=True)
+    fcell, friv, segfu, flake = forcing_to_blocks(mbd, fs32, dm.seg_ele)
+    z = y_to_z(mbd, jnp.asarray(y))
+    diag = rhs_mega_diag(mbd, fcell, friv, segfu, z, close_boundary=True,
+                         flake=flake)
+    keys = DIAG_CELL + DIAG_RIV + (DIAG_LAKE if mbd.nl > 0 else ())
+    for k in keys:
+        ref = np.asarray(diag_ref[k], np.float32)
+        got = np.asarray(diag[k])
+        assert got.shape == ref.shape, k
+        # net sums (q_surf_tot etc.) cancel to ~0 from O(max|ref|)-sized
+        # edge fluxes, so ulp-level kernel-vs-XLA differences amplify in
+        # RELATIVE terms: tolerate rtol + a field-scaled absolute term
+        tol = 2e-4 * np.abs(ref) + 1e-6 * np.abs(ref).max() + 1e-9
+        bad = np.abs(got - ref) > tol
+        assert not bad.any(), (
+            f"{k}: {bad.sum()} entries out of tolerance; worst at "
+            f"{np.abs(got - ref).argmax()} "
+            f"(ref {ref[np.abs(got - ref).argmax()]:.6e} "
+            f"got {got[np.abs(got - ref).argmax()]:.6e})"
+        )
+
+
 def test_blocks_roundtrip(ccw):
     _, md, _ = ccw
     mb = build_mega_blocks(md)

@@ -30,10 +30,6 @@ def _lib():
                 ctypes.c_int64, i64p, i64p, f64p, f64p, f64p,
             ]
             lib.shud_nabr_to_me.argtypes = [ctypes.c_int64, i64p, i64p]
-            lib.shud_ghost_tables.argtypes = [
-                ctypes.c_int64, ctypes.c_int64, i64p, i64p, i64p,
-                ctypes.c_int64, ctypes.c_int32, i64p, i64p, i64p, i64p,
-            ]
             _LIB = lib
     return _LIB
 
@@ -83,53 +79,3 @@ def nabr_to_me(nabr: np.ndarray) -> np.ndarray:
                     if nabr[nb, k] == i:
                         out[i, j] = k
     return out
-
-
-def ghost_tables(nabr: np.ndarray, shard_of: np.ndarray,
-                 slot_of: np.ndarray, p: int):
-    """Returns (export_idx [p, b], b_ghost, nb_shard [ne,3], nb_slot [ne,3])."""
-    lib = _lib()
-    ne = nabr.shape[0]
-    nabr = np.ascontiguousarray(nabr, np.int64)
-    shard_of = np.ascontiguousarray(shard_of, np.int64)
-    slot_of = np.ascontiguousarray(slot_of, np.int64)
-    if lib is not None:
-        counts = np.zeros(p, dtype=np.int64)
-        dummy = np.zeros(1, dtype=np.int64)
-        lib.shud_ghost_tables(ne, p, nabr, shard_of, slot_of, 1, 1,
-                              counts, dummy, dummy, dummy)
-        b = max(1, int(counts.max()))
-        export_idx = np.zeros((p, b), dtype=np.int64)
-        nb_shard = np.empty((ne, 3), dtype=np.int64)
-        nb_slot = np.empty((ne, 3), dtype=np.int64)
-        lib.shud_ghost_tables(ne, p, nabr, shard_of, slot_of, b, 0,
-                              counts, export_idx, nb_shard, nb_slot)
-        return export_idx, b, nb_shard, nb_slot
-    # Python fallback
-    exports = [set() for _ in range(p)]
-    for i in range(ne):
-        q = shard_of[i]
-        for j in range(3):
-            nb = nabr[i, j]
-            if nb >= 0 and shard_of[nb] != q:
-                exports[shard_of[nb]].add(int(slot_of[nb]))
-    b = max(1, max((len(s) for s in exports), default=1))
-    export_idx = np.zeros((p, b), dtype=np.int64)
-    pos = [dict() for _ in range(p)]
-    for q in range(p):
-        for k, slot in enumerate(sorted(exports[q])):
-            export_idx[q, k] = slot
-            pos[q][slot] = k
-    nb_shard = np.full((ne, 3), -1, dtype=np.int64)
-    nb_slot = np.zeros((ne, 3), dtype=np.int64)
-    for i in range(ne):
-        q = shard_of[i]
-        for j in range(3):
-            nb = nabr[i, j]
-            if nb >= 0:
-                if shard_of[nb] == q:
-                    nb_slot[i, j] = slot_of[nb]
-                else:
-                    nb_shard[i, j] = shard_of[nb]
-                    nb_slot[i, j] = pos[shard_of[nb]][int(slot_of[nb])]
-    return export_idx, b, nb_shard, nb_slot

@@ -5,11 +5,25 @@ The reference's only parallelism is OpenMP threads over flat arrays
 TPU design follows SURVEY §5.7: partition the unstructured cell graph into P
 spatially-compact blocks (recursive coordinate bisection on centroids),
 shard every cell-axis array over a 1-D device mesh, and exchange one ghost
-ring of dynamic per-cell values per RHS evaluation.  Rivers, segments-to-
-river reductions and lakes are replicated/psum'd (Nriv << Ncell).
+ring of dynamic per-cell values per RHS evaluation.
 
-Static neighbour quantities (z_surf, z_bottom, rough) are pre-baked into
-per-edge arrays so only (sf, gw, effKH) travel in the halo.
+Communication design (SURVEY §5.8): the halo is **neighbour-wise** — the
+shard adjacency graph is edge-coloured into K rounds, and each round is one
+``lax.ppermute`` in which every shard sends one packed boundary block to one
+neighbour shard.  Per-device payload is O(edge-cut of this shard), not
+O(P·B) as an ``all_gather`` would be, so the exchange volume stays constant
+under weak scaling.  The river network is partitioned too (each reach owned
+by the shard holding the majority of its segments' elements): segment→river
+sums and the downstream-routing reduction (`PassValue`,
+``src/ModelData/MD_f.cpp:217-257``) are owner-computed locally, and only
+values crossing a cut — remote-reach stages forward, per-remote-reach flux
+partials backward — travel in the same K ppermute rounds.  Lakes remain
+replicated (Nlake is tiny) with ``psum``-completed per-lake reductions.
+
+Static neighbour quantities (z_surf, z_bottom, rough, downstream river
+depth/bed-slope, per-segment river parameters) are pre-baked into per-edge /
+per-segment / per-reach arrays so only (sf, gw, effKH) and river stage
+travel in the halo.
 """
 
 from __future__ import annotations
@@ -48,13 +62,103 @@ def rcb_partition(x: np.ndarray, y: np.ndarray, p: int) -> np.ndarray:
 
 
 @dataclasses.dataclass
+class ExchangePlan:
+    """Static neighbour-wise exchange schedule (closed over at trace time).
+
+    Round k is one ``ppermute`` whose permutation is ``perms[k]``; shard s
+    packs ``s_cell[k]`` cell-export slots (3 values each: sf, gw, effKH)
+    and ``s_riv[k]`` river-stage slots.  The receiver lays round k's block
+    at offset ``off_cell[k]`` / ``off_riv[k]`` of its flat ghost buffers.
+    The reverse (flux-partial) exchange reuses the same rounds with
+    ``rev_perms`` and 3 values per river slot (Qsurf, Qsub, Qup partials).
+    """
+
+    k: int
+    perms: list
+    rev_perms: list
+    s_cell: list
+    s_riv: list
+    off_cell: list
+    off_riv: list
+    g_cell: int  # total cell ghost slots (>= 1)
+    g_riv: int  # total river ghost slots (>= 1)
+    b_merged: int = 0  # max merged per-shard cell export count (the B an
+    # all_gather halo would ship from EVERY shard to every device)
+
+    def bytes_per_eval(self, itemsize: int = 8) -> int:
+        """Per-device halo payload of one RHS evaluation (send side; the
+        receive volume is identical by symmetry of the round schedule)."""
+        fwd_cell = sum(self.s_cell) * 3 * itemsize
+        fwd_riv = sum(self.s_riv) * itemsize
+        rev_riv = sum(self.s_riv) * 3 * itemsize
+        return fwd_cell + fwd_riv + rev_riv
+
+    def allgather_bytes_per_eval(self, p: int, itemsize: int = 8) -> int:
+        """What the round-1 all_gather design would move per device per
+        eval: every device receives every shard's padded export block."""
+        return p * self.b_merged * 3 * itemsize
+
+
+def _greedy_rounds(pairs):
+    """Directed edge colouring: split (src, dst) pairs into rounds where
+    each shard sends to at most one destination and receives from at most
+    one source — the validity condition of ``lax.ppermute``."""
+    rounds = []
+    remaining = sorted(pairs)
+    while remaining:
+        used_s, used_d = set(), set()
+        this, rest = [], []
+        for s, d in remaining:
+            if s not in used_s and d not in used_d:
+                this.append((s, d))
+                used_s.add(s)
+                used_d.add(d)
+            else:
+                rest.append((s, d))
+        rounds.append(this)
+        remaining = rest
+    return rounds
+
+
+def _group_imports(src, dst, slot, p):
+    """(src, dst, slot) triples -> {(s, d): sorted unique slot array}:
+    the list of s-local slots that shard d imports from shard s."""
+    src = np.asarray(src, np.int64)
+    if len(src) == 0:
+        return {}
+    trip = np.unique(
+        np.stack(
+            [src, np.asarray(dst, np.int64), np.asarray(slot, np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    keys = trip[:, 0] * p + trip[:, 1]
+    bounds = np.flatnonzero(np.diff(keys)) + 1
+    return {
+        (int(c[0, 0]), int(c[0, 1])): np.ascontiguousarray(c[:, 2])
+        for c in np.split(trip, bounds)
+    }
+
+
+def _gpos(groups, round_of, off, qsrc, qdst, qslot):
+    """Flat ghost-buffer position of each (src, dst, slot) query."""
+    out = np.zeros(len(qsrc), np.int64)
+    for (s, d), slots in groups.items():
+        m = (qsrc == s) & (qdst == d)
+        if m.any():
+            out[m] = off[round_of[(s, d)]] + np.searchsorted(slots, qslot[m])
+    return out
+
+
+@dataclasses.dataclass
 class ShardedMesh:
     """Per-shard mesh arrays, leading axis = shard (P)."""
 
     p: int
     np_cells: int  # padded cells per shard
     ns_seg: int  # padded segments per shard
-    b_ghost: int  # padded export slots per shard
+    nr_riv: int  # padded reaches per shard
     num_ele: int  # total active cells
     num_riv: int
     num_lake: int
@@ -65,6 +169,8 @@ class ShardedMesh:
     old_to_shard: np.ndarray  # [Ne] owner shard per original cell id
     old_to_slot: np.ndarray  # [Ne] local slot per original cell id
     valid: np.ndarray  # [P, Np] bool
+    riv_owner: np.ndarray  # [Nr] owner shard per original reach id
+    riv_slot_of: np.ndarray  # [Nr] local slot per original reach id
 
     # per-cell params (all [P, Np])
     cell: dict
@@ -72,12 +178,12 @@ class ShardedMesh:
     edge: dict
     # per-shard segment arrays ([P, Sp])
     seg: dict
-    # river arrays (replicated, [Nr])
+    # river arrays (sharded, [P, Rp])
     riv: dict
-    # halo tables
-    export_idx: np.ndarray  # [P, B] local slots each shard exports
-    nb_shard: np.ndarray  # [P, Np, 3] owner shard of each neighbour (-1 local/none)
-    nb_slot: np.ndarray  # [P, Np, 3] slot in export buffer (remote) or local slot
+    # halo tables (per-shard send lists + per-edge ghost positions)
+    halo: dict
+    # static exchange schedule
+    plan: ExchangePlan
     # lakes (replicated small tables + sharded per-edge lake ids)
     lake: dict = dataclasses.field(default_factory=dict)
 
@@ -93,11 +199,18 @@ _CELL_FIELDS = [
 _CELL_INT_FIELDS = ["i_bc", "i_ss", "i_lake", "i_forc", "i_lc", "i_mf"]
 _EDGE_FIELDS = ["edge", "dist2edge", "dist2nabor", "avg_rough"]
 _RIV_FIELDS = [
-    "riv_down", "riv_outlet_code", "riv_to_lake", "riv_bc", "riv_length",
+    "riv_outlet_code", "riv_to_lake", "riv_bc", "riv_length",
     "riv_bed_slope", "riv_depth", "riv_bank_slope", "riv_bottom_width",
     "riv_rough", "riv_cwr", "riv_ksat_h", "riv_bed_thick", "riv_avg_rough",
     "riv_dist2down",
 ]
+# padded-lane fill values that keep the padded river math finite (the
+# results are masked by `valid`; these only avoid 0/0)
+_RIV_PAD = {
+    "riv_length": 1.0, "riv_dist2down": 1.0, "riv_avg_rough": 1.0,
+    "riv_rough": 1.0, "riv_bed_thick": 1.0, "riv_bottom_width": 1.0,
+    "riv_to_lake": -1, "riv_outlet_code": -1,
+}
 
 
 def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
@@ -165,16 +278,144 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
     hasnb_buf[old_to_shard, old_to_slot] = has_nb
     edge["has_nb"] = hasnb_buf
 
-    # ---- halo tables (native C++ pass; Python fallback inside) ----
-    from shud_tpu import native
+    # ---- river ownership: majority vote of segment-element owners ----
+    nrv = md.num_riv
+    votes = np.zeros((max(nrv, 1), p), dtype=np.int64)
+    np.add.at(votes, (md.seg_riv, old_to_shard[md.seg_ele]), 1)
+    riv_owner = votes.argmax(axis=1)[:nrv]
+    orphan = votes.sum(axis=1)[:nrv] == 0
+    # orphan reaches (no segments) follow their downstream owner
+    for _ in range(64):
+        if not orphan.any():
+            break
+        dn = np.where(md.riv_down >= 0, md.riv_down, 0)
+        fixable = orphan & (md.riv_down >= 0) & ~orphan[dn]
+        if not fixable.any():
+            break
+        riv_owner[fixable] = riv_owner[dn[fixable]]
+        orphan = orphan & ~fixable
 
-    export_idx, b_ghost, nb_shard_flat, nb_slot_flat = native.ghost_tables(
-        md.nabr, old_to_shard, old_to_slot, p
+    riv_sizes = np.bincount(riv_owner, minlength=p)
+    nr_riv = max(1, int(riv_sizes.max()))
+    riv_slot_of = np.empty(max(nrv, 1), dtype=np.int64)
+    riv_perm = np.lexsort((np.arange(nrv), riv_owner))
+    roffs = np.zeros(p + 1, dtype=np.int64)
+    roffs[1:] = np.cumsum(riv_sizes)
+    for q in range(p):
+        riv_slot_of[riv_perm[roffs[q] : roffs[q + 1]]] = np.arange(
+            riv_sizes[q]
+        )
+    riv_slot_of = riv_slot_of[:nrv]
+    rvalid = np.zeros((p, nr_riv), dtype=bool)
+    for q in range(p):
+        rvalid[q, : riv_sizes[q]] = True
+
+    # ---- import lists: cells ----
+    ii = np.repeat(np.arange(ne), 3)
+    nn = md.nabr.ravel()
+    ok = nn >= 0
+    cross = np.zeros(ne * 3, dtype=bool)
+    cross[ok] = old_to_shard[nn[ok]] != old_to_shard[ii[ok]]
+    cell_groups = _group_imports(
+        old_to_shard[nn[cross]], old_to_shard[ii[cross]],
+        old_to_slot[nn[cross]], p,
     )
-    nb_shard = np.full((p, np_cells, 3), -1, dtype=np.int64)
-    nb_slot = np.zeros((p, np_cells, 3), dtype=np.int64)
-    nb_shard[old_to_shard, old_to_slot] = nb_shard_flat
-    nb_slot[old_to_shard, old_to_slot] = nb_slot_flat
+
+    # ---- import lists: river stages ----
+    # (a) segments whose river lives on another shard than their element
+    seg_dst = old_to_shard[md.seg_ele]
+    seg_src = riv_owner[md.seg_riv]
+    seg_cross = seg_src != seg_dst
+    # (b) down-links crossing shards (need downstream stage for the slope)
+    hd = md.riv_down >= 0
+    up_ids = np.flatnonzero(hd)
+    dn_ids = md.riv_down[up_ids]
+    link_src = riv_owner[dn_ids]
+    link_dst = riv_owner[up_ids]
+    link_cross = link_src != link_dst
+    riv_groups = _group_imports(
+        np.concatenate([seg_src[seg_cross], link_src[link_cross]]),
+        np.concatenate([seg_dst[seg_cross], link_dst[link_cross]]),
+        np.concatenate([
+            riv_slot_of[md.seg_riv[seg_cross]],
+            riv_slot_of[dn_ids[link_cross]],
+        ]),
+        p,
+    )
+
+    # ---- round schedule over the union pair graph ----
+    pairs = sorted(set(cell_groups) | set(riv_groups))
+    rounds = _greedy_rounds(pairs)
+    k_rounds = len(rounds)
+    round_of = {pr: k for k, rnd in enumerate(rounds) for pr in rnd}
+    s_cell = [
+        max((len(cell_groups[pr]) for pr in rnd if pr in cell_groups),
+            default=0)
+        for rnd in rounds
+    ]
+    s_riv = [
+        max((len(riv_groups[pr]) for pr in rnd if pr in riv_groups),
+            default=0)
+        for rnd in rounds
+    ]
+    off_cell = np.concatenate([[0], np.cumsum(s_cell)]).tolist()
+    off_riv = np.concatenate([[0], np.cumsum(s_riv)]).tolist()
+    merged_sets = {}
+    for (s, _d), slots in cell_groups.items():
+        merged_sets.setdefault(s, set()).update(slots.tolist())
+    b_merged = max((len(v) for v in merged_sets.values()), default=0)
+    plan = ExchangePlan(
+        k=k_rounds,
+        perms=[list(rnd) for rnd in rounds],
+        rev_perms=[[(d, s) for (s, d) in rnd] for rnd in rounds],
+        s_cell=s_cell, s_riv=s_riv,
+        off_cell=off_cell[:-1], off_riv=off_riv[:-1],
+        g_cell=max(1, int(off_cell[-1])),
+        g_riv=max(1, int(off_riv[-1])),
+        b_merged=b_merged,
+    )
+
+    # ---- per-shard send tables ----
+    sc_max = max(1, max(s_cell, default=0))
+    sr_max = max(1, max(s_riv, default=0))
+    kk = max(1, k_rounds)
+    cell_send = np.zeros((p, kk, sc_max), dtype=np.int64)
+    riv_send = np.zeros((p, kk, sr_max), dtype=np.int64)
+    for k, rnd in enumerate(rounds):
+        for pr in rnd:
+            s, _d = pr
+            cl = cell_groups.get(pr)
+            if cl is not None:
+                cell_send[s, k, : len(cl)] = cl
+            rl = riv_groups.get(pr)
+            if rl is not None:
+                riv_send[s, k, : len(rl)] = rl
+
+    # ---- per-edge neighbour tables ----
+    nb_remote_flat = cross.reshape(ne, 3)
+    nb_local_flat = np.where(ok & ~cross, old_to_slot[np.where(nn >= 0, nn, 0)],
+                             0).reshape(ne, 3)
+    gq = _gpos(
+        cell_groups, round_of, plan.off_cell,
+        old_to_shard[nn[cross]], old_to_shard[ii[cross]],
+        old_to_slot[nn[cross]],
+    )
+    nb_gpos_flat = np.zeros(ne * 3, dtype=np.int64)
+    nb_gpos_flat[cross] = gq
+    nb_gpos_flat = nb_gpos_flat.reshape(ne, 3)
+
+    def scatter_edge_tbl(arr, dtype):
+        out = np.zeros((p, np_cells, 3), dtype=dtype)
+        out[old_to_shard, old_to_slot] = arr
+        return out
+
+    halo = {
+        "cell_send": cell_send,
+        "riv_send": riv_send,
+        "nb_remote": scatter_edge_tbl(nb_remote_flat, bool),
+        "nb_local": scatter_edge_tbl(nb_local_flat, np.int64),
+        "nb_gpos": scatter_edge_tbl(nb_gpos_flat, np.int64),
+    }
 
     # ---- segments per shard (vectorised fill) ----
     seg_shard = old_to_shard[md.seg_ele]
@@ -186,20 +427,82 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
     seg_j = np.arange(md.num_seg) - np.concatenate(
         [[0], np.cumsum(seg_sizes)]
     )[seg_q]
+    riv_of_seg = md.seg_riv[order]
+    seg_riv_local = (riv_owner[riv_of_seg] == seg_q)
+    seg_riv_gpos_all = _gpos(
+        riv_groups, round_of, plan.off_riv,
+        riv_owner[md.seg_riv], seg_shard, riv_slot_of[md.seg_riv],
+    )[order]
     seg = {
         "ele_slot": np.zeros((p, ns_seg), dtype=np.int64),
-        "riv": np.zeros((p, ns_seg), dtype=np.int64),
+        "riv_slot": np.zeros((p, ns_seg), dtype=np.int64),
+        "riv_gpos": np.zeros((p, ns_seg), dtype=np.int64),
+        "riv_local": np.zeros((p, ns_seg), dtype=bool),
         "length": np.zeros((p, ns_seg)),
         "cwr": np.zeros((p, ns_seg)),
+        "rdepth": np.zeros((p, ns_seg)),
+        "rksat": np.zeros((p, ns_seg)),
+        "rbed": np.ones((p, ns_seg)),
         "valid": np.zeros((p, ns_seg), dtype=bool),
     }
     seg["ele_slot"][seg_q, seg_j] = old_to_slot[md.seg_ele[order]]
-    seg["riv"][seg_q, seg_j] = md.seg_riv[order]
+    seg["riv_slot"][seg_q, seg_j] = np.where(
+        seg_riv_local, riv_slot_of[riv_of_seg], 0
+    )
+    seg["riv_gpos"][seg_q, seg_j] = np.where(
+        seg_riv_local, 0, seg_riv_gpos_all
+    )
+    seg["riv_local"][seg_q, seg_j] = seg_riv_local
     seg["length"][seg_q, seg_j] = md.seg_length[order]
     seg["cwr"][seg_q, seg_j] = md.seg_cwr[order]
+    seg["rdepth"][seg_q, seg_j] = md.riv_depth[riv_of_seg]
+    seg["rksat"][seg_q, seg_j] = md.riv_ksat_h[riv_of_seg]
+    seg["rbed"][seg_q, seg_j] = md.riv_bed_thick[riv_of_seg]
     seg["valid"][seg_q, seg_j] = True
 
-    riv = {f: np.asarray(getattr(md, f)) for f in _RIV_FIELDS}
+    # ---- river blocks ----
+    def scatter_riv(arr, fill=0.0):
+        a = np.asarray(arr)
+        out = np.full((p, nr_riv), fill, dtype=a.dtype)
+        out[riv_owner, riv_slot_of] = a
+        return out
+
+    riv = {
+        f: scatter_riv(getattr(md, f), fill=_RIV_PAD.get(f, 0))
+        for f in _RIV_FIELDS
+    }
+    riv["valid"] = rvalid
+    # down-link tables: local slot or ghost position + pre-baked statics
+    down_local_g = np.zeros(max(nrv, 1), dtype=bool)
+    down_slot_g = np.zeros(max(nrv, 1), dtype=np.int64)
+    down_gpos_g = np.zeros(max(nrv, 1), dtype=np.int64)
+    down_depth_g = np.zeros(max(nrv, 1))
+    down_bs_g = np.asarray(md.riv_bed_slope, dtype=float).copy() \
+        if nrv else np.zeros(1)
+    if len(up_ids):
+        down_local_g[up_ids] = ~link_cross
+        down_slot_g[up_ids] = np.where(link_cross, 0, riv_slot_of[dn_ids])
+        lg = _gpos(
+            riv_groups, round_of, plan.off_riv,
+            link_src[link_cross], link_dst[link_cross],
+            riv_slot_of[dn_ids[link_cross]],
+        )
+        tmp = np.zeros(len(up_ids), dtype=np.int64)
+        tmp[link_cross] = lg
+        down_gpos_g[up_ids] = tmp
+        down_depth_g[up_ids] = md.riv_depth[dn_ids]
+        down_bs_g[up_ids] = md.riv_bed_slope[dn_ids]
+    riv["has_down"] = scatter_riv(hd, fill=False)
+    riv["down_local"] = scatter_riv(down_local_g[:nrv], fill=False) \
+        if nrv else np.zeros((p, nr_riv), dtype=bool)
+    riv["down_slot"] = scatter_riv(down_slot_g[:nrv], fill=0) \
+        if nrv else np.zeros((p, nr_riv), dtype=np.int64)
+    riv["down_gpos"] = scatter_riv(down_gpos_g[:nrv], fill=0) \
+        if nrv else np.zeros((p, nr_riv), dtype=np.int64)
+    riv["down_depth"] = scatter_riv(down_depth_g[:nrv]) \
+        if nrv else np.zeros((p, nr_riv))
+    riv["down_bedslope"] = scatter_riv(down_bs_g[:nrv]) \
+        if nrv else np.zeros((p, nr_riv))
 
     lake = {}
     if md.num_lake > 0:
@@ -220,12 +523,13 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
         }
 
     return ShardedMesh(
-        p=p, np_cells=np_cells, ns_seg=ns_seg, b_ghost=b_ghost,
+        p=p, np_cells=np_cells, ns_seg=ns_seg, nr_riv=nr_riv,
         num_ele=ne, num_riv=md.num_riv, num_lake=md.num_lake,
         perm=perm, inv_perm=inv_perm, old_to_shard=old_to_shard,
         old_to_slot=old_to_slot, valid=valid,
-        cell=cell, edge=edge, seg=seg, riv=riv,
-        export_idx=export_idx, nb_shard=nb_shard, nb_slot=nb_slot,
+        riv_owner=riv_owner[:nrv] if nrv else riv_owner[:0],
+        riv_slot_of=riv_slot_of[:nrv] if nrv else riv_slot_of[:0],
+        cell=cell, edge=edge, seg=seg, riv=riv, halo=halo, plan=plan,
         lake=lake,
     )
 
@@ -233,7 +537,6 @@ def build_sharded_mesh(md: MeshData, p: int) -> ShardedMesh:
 def shard_state(sm: ShardedMesh, y: np.ndarray) -> dict:
     """Split a global concat state vector into the sharded pytree."""
     ne, nr = sm.num_ele, sm.num_riv
-    nl = sm.num_lake
     sf, us, gw = y[:ne], y[ne : 2 * ne], y[2 * ne : 3 * ne]
     riv = y[3 * ne : 3 * ne + nr]
     lake = y[3 * ne + nr :]
@@ -243,10 +546,21 @@ def shard_state(sm: ShardedMesh, y: np.ndarray) -> dict:
         out[sm.old_to_shard, sm.old_to_slot] = v
         return out
 
+    rb = np.zeros((sm.p, sm.nr_riv))
+    if nr:
+        rb[sm.riv_owner, sm.riv_slot_of] = riv
     return {
         "sf": to_blocks(sf), "us": to_blocks(us), "gw": to_blocks(gw),
-        "riv": riv.copy(), "lake": lake.copy(),
+        "riv": rb, "lake": lake.copy(),
     }
+
+
+def riv_blocks(sm: ShardedMesh, v: np.ndarray) -> np.ndarray:
+    """Scatter a per-reach array into the sharded [P, Rp] block layout."""
+    out = np.zeros((sm.p, sm.nr_riv), dtype=np.asarray(v).dtype)
+    if sm.num_riv:
+        out[sm.riv_owner, sm.riv_slot_of] = v
+    return out
 
 
 def unshard_state(sm: ShardedMesh, ys: dict) -> np.ndarray:
@@ -254,7 +568,9 @@ def unshard_state(sm: ShardedMesh, ys: dict) -> np.ndarray:
         b = np.asarray(b)
         return b[sm.old_to_shard, sm.old_to_slot]
 
+    rb = np.asarray(ys["riv"])
+    riv = rb[sm.riv_owner, sm.riv_slot_of] if sm.num_riv else rb[:0, 0]
     return np.concatenate([
         from_blocks(ys["sf"]), from_blocks(ys["us"]), from_blocks(ys["gw"]),
-        np.asarray(ys["riv"]), np.asarray(ys["lake"]),
+        riv, np.asarray(ys["lake"]),
     ])

@@ -1,9 +1,9 @@
 """Multi-chip runtime: sharded solver windows.
 
 Glues the domain-decomposed RHS (``parallel.sharded``) to the pytree-native
-adaptive solver: cell blocks live sharded over the device mesh, river/lake
-state is replicated, and ``solve_to`` runs unchanged — its dot products
-become cross-device ``psum``s under GSPMD.
+adaptive solver: cell and river blocks live sharded over the device mesh,
+lake state is replicated, and ``solve_to`` runs unchanged — its dot
+products become cross-device ``psum``s under GSPMD.
 """
 
 from __future__ import annotations
@@ -19,8 +19,8 @@ from shud_tpu.core.landsurface import BucketState, cell_forcing, et_bucket_step
 from shud_tpu.core.mesh import MeshData
 from shud_tpu.driver.forcing import build_forcing
 from shud_tpu.io.project import ProjectInput
-from shud_tpu.parallel.partition import ShardedMesh
-from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs
+from shud_tpu.parallel.partition import ShardedMesh, riv_blocks
+from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs, place_params
 from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
 
 
@@ -34,8 +34,8 @@ def init_distributed(coordinator: str | None = None,
     ``jax.devices()`` spans the whole pod slice and every sharded
     construct in this package (RCB partition over the global device
     count, `shard_map` RHS, psum reductions) works unchanged — GSPMD
-    routes the halo `all_gather` over ICI within a slice and DCN across
-    slices.  Arguments default to the standard TPU pod environment
+    routes the neighbour-wise halo `ppermute`s over ICI within a slice
+    and DCN across slices.  Arguments default to the standard TPU pod environment
     (`jax.distributed.initialize()` autodetects on Cloud TPU); pass them
     explicitly elsewhere (coordinator `"host0:8476"`, total process
     count, this host's rank).
@@ -96,7 +96,8 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
         "ele_ybc": blocks(zeros), "ele_qbc": blocks(zeros),
         "ele_qss": blocks(zeros),
     }
-    fs_riv = {"riv_ybc": np.zeros(md.num_riv), "riv_qbc": np.zeros(md.num_riv)}
+    zr = np.zeros(md.num_riv)
+    fs_riv = {"riv_ybc": riv_blocks(sm, zr), "riv_qbc": riv_blocks(sm, zr)}
     return fs_cell, fs_riv, out.state
 
 
@@ -129,16 +130,12 @@ def sharded_window_step(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
 
     fs_cell, fs_riv, _ = compute_forcing_blocks(inp, md, sm, t0, tout)
     fs_cell = {k: put_cell(v) for k, v in fs_cell.items()}
-    fs_riv = {k: put_rep(v) for k, v in fs_riv.items()}
-    params_dev = tuple(
-        jax.tree_util.tree_map(put_cell, p) if i < 3 or i == 4
-        else jax.tree_util.tree_map(put_rep, p)
-        for i, p in enumerate(params)
-    )
+    fs_riv = {k: put_cell(v) for k, v in fs_riv.items()}
+    params_dev = place_params(mesh, params)
 
     y_dev = {
         "sf": put_cell(ys["sf"]), "us": put_cell(ys["us"]),
-        "gw": put_cell(ys["gw"]), "riv": put_rep(ys["riv"]),
+        "gw": put_cell(ys["gw"]), "riv": put_cell(ys["riv"]),
         "lake": put_rep(ys["lake"]),
     }
     if cfg is None:
@@ -154,7 +151,7 @@ class ShardedSimulation:
     driver).
 
     The single-device ``driver.simulate.Simulation`` equivalent for a
-    ``jax.sharding.Mesh`` of P devices: cell blocks live sharded, rivers and
+    ``jax.sharding.Mesh`` of P devices: cell and river blocks live sharded,
     lakes replicated, one BDF state persists across windows (multistep
     history survives, as in the fused driver), and each window re-binds only
     the forcing tables.  The reference has no counterpart — its only
@@ -178,18 +175,14 @@ class ShardedSimulation:
         self.mesh, self.rhs_fn, params = _cached_sharded_rhs(self.sm)
         self.cell_sh = NamedSharding(self.mesh, P(AXIS))
         self.rep_sh = NamedSharding(self.mesh, P())
-        self.params_dev = tuple(
-            jax.tree_util.tree_map(self._put_cell, prm) if i < 3 or i == 4
-            else jax.tree_util.tree_map(self._put_rep, prm)
-            for i, prm in enumerate(params)
-        )
+        self.params_dev = place_params(self.mesh, params)
         ic0, snow0 = initial_buckets(inp, md)
         self.buckets = BucketState(ic_stg=jnp.asarray(ic0),
                                    snow=jnp.asarray(snow0))
         ys = shard_state(self.sm, initial_state(inp, md))
         y_dev = {
             "sf": self._put_cell(ys["sf"]), "us": self._put_cell(ys["us"]),
-            "gw": self._put_cell(ys["gw"]), "riv": self._put_rep(ys["riv"]),
+            "gw": self._put_cell(ys["gw"]), "riv": self._put_cell(ys["riv"]),
             "lake": self._put_rep(ys["lake"]),
         }
         self.state = bdf_init(cs.start_time, y_dev, self.cfg)
@@ -215,7 +208,7 @@ class ShardedSimulation:
         )
         self.buckets = new_buckets
         fs_cell = {k: self._put_cell(v) for k, v in fs_cell.items()}
-        fs_riv = {k: self._put_rep(v) for k, v in fs_riv.items()}
+        fs_riv = {k: self._put_cell(v) for k, v in fs_riv.items()}
         self.state = solve_to(self.rhs_fn, self.state, tout,
                               self.params_dev + (fs_cell, fs_riv), self.cfg)
         self.t = tout

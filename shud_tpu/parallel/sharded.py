@@ -1,13 +1,25 @@
 """Sharded RHS: the full dY/dt under ``shard_map`` domain decomposition.
 
-Each device owns one contiguous cell block; one halo exchange of
-(sf, gw, effKH) per RHS evaluation rides the ICI via ``all_gather`` of the
-packed boundary exports (the structural counterpart of context-parallel halo
-exchange); rivers are computed replicated, with ``psum`` completing the
-segment→river scatter-reduction that the reference does serially in
-``PassValue`` (MD_f.cpp:217-257).  The only other global communication is
-the solver's dot products — identical communication structure to CVODE+MPI
-if it existed, but over ICI collectives.
+Each device owns one contiguous cell block AND one block of river reaches
+(each reach owned by the shard holding most of its segments' elements).
+Communication per RHS evaluation is **neighbour-wise** over the shard
+adjacency graph (SURVEY §5.7/§5.8): the partition pre-computes an
+edge-coloured round schedule (``partition.ExchangePlan``) and each round is
+one ``lax.ppermute`` in which a shard exchanges packed boundary blocks with
+exactly one neighbour shard — payload O(edge-cut), not the O(P·B) of an
+``all_gather``.  Three exchanges ride the same K rounds:
+
+* forward cells: (sf, gw, effKH) of exported boundary cells;
+* forward rivers: stage of reaches referenced by remote segments or remote
+  upstream reaches;
+* reverse rivers: per-remote-reach flux partials (Qsurf, Qsub, Qup) sent
+  back to the reach owner — the distributed counterpart of the reference's
+  serial ``PassValue`` scatter-reduction (MD_f.cpp:217-257).
+
+Lakes stay replicated (Nlake is tiny); per-lake reductions complete with
+``psum``.  The only other global communication is the solver's dot
+products — the same communication structure CVODE+MPI would have, but over
+ICI collectives.
 
 Physics is shared with the single-chip path (``shud_tpu.core.rhs``
 elementwise kernels); parity is enforced by the sharded-vs-unsharded
@@ -16,18 +28,16 @@ equivalence test (tests/test_sharding.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.ops import segment_sum
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from shud_tpu.config import GRAV, MAXYSURF, ZERO
 from shud_tpu.core import physics as ph
 from shud_tpu.core.rhs import (
-    CellUpdate,
     _lake_toparea,
     et_flux,
     flux_infiltration,
@@ -35,7 +45,7 @@ from shud_tpu.core.rhs import (
     lake_cell_update,
     update_element,
 )
-from shud_tpu.parallel.partition import ShardedMesh
+from shud_tpu.parallel.partition import ExchangePlan, ShardedMesh
 
 AXIS = "shards"
 
@@ -67,22 +77,60 @@ class _CellView:
             raise AttributeError(name) from e
 
 
-def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
-               y_local, ghost_all, fs_local, fs_riv, close_boundary: bool,
-               my_shard):
-    """RHS for one shard's block.  ``ghost_all``: [P, B, 3] gathered exports
-    of (sf, gw, effkh)."""
+def _halo_forward(plan: ExchangePlan, halo, exports_c, riv_stage):
+    """K neighbour-wise ppermute rounds -> (cell ghost [Gc,3], river ghost
+    [Gr]).  Rounds with zero payload of a kind are skipped entirely."""
+    gc_parts, gr_parts = [], []
+    for k in range(plan.k):
+        sc, sr = plan.s_cell[k], plan.s_riv[k]
+        if sc:
+            buf = exports_c[halo["cell_send"][k, :sc]]
+            gc_parts.append(lax.ppermute(buf, AXIS, plan.perms[k]))
+        if sr:
+            rbuf = riv_stage[halo["riv_send"][k, :sr]]
+            gr_parts.append(lax.ppermute(rbuf, AXIS, plan.perms[k]))
+    dt = exports_c.dtype
+    ghost_c = (jnp.concatenate(gc_parts, axis=0) if gc_parts
+               else jnp.zeros((1, 3), dtype=dt))
+    ghost_r = (jnp.concatenate(gr_parts, axis=0) if gr_parts
+               else jnp.zeros((1,), dtype=dt))
+    return ghost_c, ghost_r
+
+
+def _halo_reverse(plan: ExchangePlan, halo, partials, nr_local):
+    """Send per-remote-reach flux partials [Gr, 3] back to their owners
+    (inverted perms) and scatter-add onto the owner's local reach blocks.
+    Returns [Rp, 3] of (Qsurf, Qsub, Qup) received sums."""
+    acc = jnp.zeros((nr_local, 3), dtype=partials.dtype)
+    for k in range(plan.k):
+        sr = plan.s_riv[k]
+        if not sr:
+            continue
+        off = plan.off_riv[k]
+        recv = lax.ppermute(partials[off : off + sr], AXIS,
+                            plan.rev_perms[k])
+        # padded lanes carry zeros (sender's ghost buffer is zero except at
+        # real import positions) and scatter harmlessly onto slot 0
+        acc = acc + segment_sum(recv, halo["riv_send"][k, :sr],
+                                num_segments=nr_local)
+    return acc
+
+
+def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
+               y_local, fs_local, fs_riv, close_boundary: bool):
+    """RHS for one shard's cell + river blocks (runs inside shard_map)."""
     sf, us, gw_raw = y_local["sf"], y_local["us"], y_local["gw"]
     riv_y = y_local["riv"]
     lake_stg = y_local["lake"]
     nl = lake_stg.shape[0]
     m = _CellView(cell)
     valid = cell["valid"]
+    rvalid = riv["valid"]
 
     gw = jnp.where(m.i_bc > 0, fs_local["ele_ybc"], gw_raw)
     riv_stage = jnp.where(riv["riv_bc"] > 0, fs_riv["riv_ybc"], riv_y)
 
-    # river geometry (replicated)
+    # river geometry (local reaches; River.cpp:49-62)
     r_topw = jnp.maximum(
         riv_stage * riv["riv_bank_slope"] * 2.0 + riv["riv_bottom_width"], 0.0
     )
@@ -117,25 +165,25 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
         tu = jnp.where(is_lake_cell, 0.0, tu)
         tg = jnp.where(is_lake_cell, 0.0, tg)
 
-    # ---- neighbour values via halo ----
-    nb_shard = halo_tables["nb_shard"]  # [Np,3]
-    nb_slot = halo_tables["nb_slot"]
+    # ---- forward halo: boundary cell values + remote-referenced stages ----
+    exports_c = jnp.stack([sf, gw, cu.eff_kh], axis=-1)  # [Np, 3]
+    ghost_c, ghost_r = _halo_forward(plan, halo, exports_c, riv_stage)
+
+    nb_remote = halo["nb_remote"]  # [Np,3] bool
+    nb_local = halo["nb_local"]
+    nb_gpos = halo["nb_gpos"]
     has_nb = edge["has_nb"]
-    remote = nb_shard >= 0
-    shard_ix = jnp.where(remote, nb_shard, 0)
-    local_ix = jnp.where(remote, 0, nb_slot)
 
     def nb_value(local_arr, ghost_col):
-        loc = local_arr[local_ix]
-        rem = ghost_all[shard_ix, nb_slot, ghost_col]
-        return jnp.where(remote, rem, loc)
+        loc = local_arr[nb_local]
+        rem = ghost_c[nb_gpos, ghost_col]
+        return jnp.where(nb_remote, rem, loc)
 
     nsf = jnp.maximum(nb_value(sf, 0), 0.0)
     gw_nb = nb_value(gw, 1)
     effkh_nb = nb_value(cu.eff_kh, 2)
 
     isf = jnp.maximum(sf, 0.0)[:, None]
-    z = m.z_surf[:, None]
     B = edge["edge"]
     dist = edge["dist2nabor"]
 
@@ -175,7 +223,6 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
         q_esurf = jnp.where(has_nb, q_int, q_bnd)
 
     gw_col = gw[:, None]
-    zb = m.z_bottom[:, None]
     dh_s = (gw_col - gw_nb) + edge["dz_bottom"]
     ymean_s = ph.avg_y_gw(gw_col, gw_nb)
     grad_s = dh_s / dist
@@ -214,42 +261,48 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
         q_esurf = jnp.where(is_lake_cell[:, None], 0.0, q_esurf)
         q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
 
-    # ---- segments (local elements, replicated rivers) ----
+    # ---- segments (local elements; river stage local or from the halo) ----
     se = seg["ele_slot"]
-    sr = seg["riv"]
     sval = seg["valid"]
+    seg_stage = jnp.where(
+        seg["riv_local"], riv_stage[seg["riv_slot"]], ghost_r[seg["riv_gpos"]]
+    )
     zs_e = m.z_surf[se]
     seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
     q_seg_surf = ph.weir_flow_jtoi(
-        zs_e, seg_isf, zs_e - riv["riv_depth"][sr], riv_stage[sr],
+        zs_e, seg_isf, zs_e - seg["rdepth"], seg_stage,
         zs_e, seg["cwr"], seg["length"], m.depression[se],
     )
     q_seg_sub = ph.flux_r2e_gw(
-        riv_stage[sr], zs_e - riv["riv_depth"][sr], gw[se], m.z_bottom[se],
-        cu.eff_kh[se], riv["riv_ksat_h"][sr], seg["length"],
-        riv["riv_bed_thick"][sr],
+        seg_stage, zs_e - seg["rdepth"], gw[se], m.z_bottom[se],
+        cu.eff_kh[se], seg["rksat"], seg["length"], seg["rbed"],
     ) * fs_local["fs"].fu_sub[se]
     q_seg_surf = jnp.where(sval, q_seg_surf, 0.0)
     q_seg_sub = jnp.where(sval, q_seg_sub, 0.0)
 
-    nr = riv_stage.shape[0]
+    nr_local = riv_stage.shape[0]
     np_cells = sf.shape[0]
-    q_riv_surf = jax.lax.psum(
-        segment_sum(q_seg_surf, sr, num_segments=nr), AXIS
+    sr_local = seg["riv_local"]
+    q_riv_surf = segment_sum(
+        jnp.where(sr_local, q_seg_surf, 0.0), seg["riv_slot"],
+        num_segments=nr_local,
     )
-    q_riv_sub = jax.lax.psum(
-        segment_sum(q_seg_sub, sr, num_segments=nr), AXIS
+    q_riv_sub = segment_sum(
+        jnp.where(sr_local, q_seg_sub, 0.0), seg["riv_slot"],
+        num_segments=nr_local,
     )
     q_e2r_surf = segment_sum(-q_seg_surf, se, num_segments=np_cells)
     q_e2r_sub = segment_sum(-q_seg_sub, se, num_segments=np_cells)
 
-    # ---- river chain (replicated compute) ----
-    down = riv["riv_down"]
-    has_down = down >= 0
-    dn = jnp.where(has_down, down, 0)
-    s_mean = 0.5 * (riv["riv_bed_slope"] + riv["riv_bed_slope"][dn])
+    # ---- river chain (owner-computed; downstream stage local or halo) ----
+    has_down = riv["has_down"]
+    stage_dn = jnp.where(
+        riv["down_local"], riv_stage[riv["down_slot"]],
+        ghost_r[riv["down_gpos"]],
+    )
+    s_mean = 0.5 * (riv["riv_bed_slope"] + riv["down_bedslope"])
     s_down = (
-        (riv_stage - riv["riv_depth"]) - (riv_stage[dn] - riv["riv_depth"][dn])
+        (riv_stage - riv["riv_depth"]) - (stage_dn - riv["down_depth"])
     ) / riv["riv_dist2down"] + s_mean
     r_hyd = jnp.where(r_per <= ZERO, 0.0,
                       r_csa / jnp.where(r_per <= ZERO, 1.0, r_per))
@@ -264,9 +317,31 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
                   jnp.where(riv["riv_outlet_code"] == -4, q_out_crit,
                             q_out_zdg)),
     )
+    q_riv_down = jnp.where(rvalid, q_riv_down, 0.0)
     q_riv_up = segment_sum(
-        jnp.where(has_down, -q_riv_down, 0.0), dn, num_segments=nr
+        jnp.where(has_down & riv["down_local"], -q_riv_down, 0.0),
+        riv["down_slot"], num_segments=nr_local,
     )
+
+    # ---- reverse halo: flux partials for remote reaches -> owners ----
+    gr = plan.g_riv
+    p_surf = segment_sum(
+        jnp.where(sr_local, 0.0, q_seg_surf), seg["riv_gpos"],
+        num_segments=gr,
+    )
+    p_sub = segment_sum(
+        jnp.where(sr_local, 0.0, q_seg_sub), seg["riv_gpos"],
+        num_segments=gr,
+    )
+    p_up = segment_sum(
+        jnp.where(has_down & ~riv["down_local"], -q_riv_down, 0.0),
+        riv["down_gpos"], num_segments=gr,
+    )
+    partials = jnp.stack([p_surf, p_sub, p_up], axis=-1)  # [Gr, 3]
+    recv = _halo_reverse(plan, halo, partials, nr_local)
+    q_riv_surf = q_riv_surf + recv[:, 0]
+    q_riv_sub = q_riv_sub + recv[:, 1]
+    q_riv_up = q_riv_up + recv[:, 2]
 
     # ---- assembly ----
     area = m.area
@@ -296,6 +371,7 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
     d_area = jnp.maximum(d_area, -r_csa)
     driv = ph.fun_da_to_dy(d_area, r_topw, riv["riv_bank_slope"])
     driv = jnp.where(riv["riv_bc"] > 0, 0.0, driv)
+    driv = jnp.where(rvalid, driv, 0.0)
 
     # ---- lake stage (replicated; psum over shards, MD_f.cpp:180-191) ----
     if nl > 0:
@@ -319,9 +395,9 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
         q_lake_sub = jax.lax.psum(segment_sum(
             q_lake_sub_e.ravel(), lki.ravel(), num_segments=nl), AXIS)
         tl = jnp.where(to_lake, riv["riv_to_lake"], 0)
-        q_lake_rivin = segment_sum(
-            jnp.where(to_lake, q_riv_down, 0.0), tl, num_segments=nl
-        )
+        q_lake_rivin = jax.lax.psum(segment_sum(
+            jnp.where(to_lake & rvalid, q_riv_down, 0.0), tl,
+            num_segments=nl), AXIS)
 
         class _LakeView:
             lake_zmin = lake_tbl["zmin"]
@@ -338,16 +414,20 @@ def _local_rhs(sm_static, cell, edge, seg, riv, lake_tbl, halo_tables, t,
     return {"sf": dsf, "us": dus, "gw": dgw, "riv": driv, "lake": dlake}
 
 
+_SHARDED_LAKE_KEYS = ("lakenabr", "dzl", "dzb")
+
+
 def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
     """Build (mesh, rhs_fn, device_arrays).
 
     ``rhs_fn(t, y, params)`` takes the sharded state pytree
-    {sf,us,gw:[P,Np], riv:[Nr], lake:[Nl]} and returns dY in the same
-    layout; cell blocks are sharded over the device mesh axis, river/lake
-    replicated."""
+    {sf,us,gw:[P,Np], riv:[P,Rp], lake:[Nl]} and returns dY in the same
+    layout; cell and river blocks are sharded over the device mesh axis,
+    lakes replicated."""
     if devices is None:
         devices = np.array(jax.devices()[: sm.p])
     mesh = Mesh(devices, (AXIS,))
+    plan = sm.plan
 
     f64 = jnp.float64
     cell = {
@@ -355,30 +435,19 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
         for k, v in sm.cell.items()
     }
     cell["valid"] = jnp.asarray(sm.cell["valid"])
-    edge = {}
-    for k, v in sm.edge.items():
+
+    def conv(v):
+        v = np.asarray(v)
         if v.dtype.kind == "b":
-            edge[k] = jnp.asarray(v)
-        else:
-            edge[k] = jnp.asarray(v, dtype=f64)
-    seg = {
-        "ele_slot": jnp.asarray(sm.seg["ele_slot"], dtype=jnp.int32),
-        "riv": jnp.asarray(sm.seg["riv"], dtype=jnp.int32),
-        "length": jnp.asarray(sm.seg["length"], dtype=f64),
-        "cwr": jnp.asarray(sm.seg["cwr"], dtype=f64),
-        "valid": jnp.asarray(sm.seg["valid"]),
-    }
-    riv = {
-        k: jnp.asarray(
-            v, dtype=f64 if v.dtype.kind == "f" else jnp.int32
-        )
-        for k, v in sm.riv.items()
-    }
-    halo = {
-        "nb_shard": jnp.asarray(sm.nb_shard, dtype=jnp.int32),
-        "nb_slot": jnp.asarray(sm.nb_slot, dtype=jnp.int32),
-        "export_idx": jnp.asarray(sm.export_idx, dtype=jnp.int32),
-    }
+            return jnp.asarray(v)
+        if v.dtype.kind in "iu":
+            return jnp.asarray(v, dtype=jnp.int32)
+        return jnp.asarray(v, dtype=f64)
+
+    edge = {k: conv(v) for k, v in sm.edge.items()}
+    seg = {k: conv(v) for k, v in sm.seg.items()}
+    riv = {k: conv(v) for k, v in sm.riv.items()}
+    halo = {k: conv(v) for k, v in sm.halo.items()}
     lake_tbl = {}
     if sm.num_lake > 0:
         lake_tbl = {
@@ -395,14 +464,13 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
         "cell": {k: P(AXIS) for k in cell},
         "edge": {k: P(AXIS) for k in edge},
         "seg": {k: P(AXIS) for k in seg},
-        "riv": {k: P() for k in riv},
-        "halo": {"nb_shard": P(AXIS), "nb_slot": P(AXIS),
-                 "export_idx": P(AXIS)},
-        "lake": {k: (P(AXIS) if k in ("lakenabr", "dzl", "dzb") else P())
+        "riv": {k: P(AXIS) for k in riv},
+        "halo": {k: P(AXIS) for k in halo},
+        "lake": {k: (P(AXIS) if k in _SHARDED_LAKE_KEYS else P())
                  for k in lake_tbl},
     }
     y_spec = {"sf": P(AXIS), "us": P(AXIS), "gw": P(AXIS),
-              "riv": P(), "lake": P()}
+              "riv": P(AXIS), "lake": P()}
     fs_cell_spec = P(AXIS)
 
     try:
@@ -423,28 +491,18 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
             cell_1 = {k: v[0] for k, v in cell_l.items()}
             edge_1 = {k: v[0] for k, v in edge_l.items()}
             seg_1 = {k: v[0] for k, v in seg_l.items()}
+            riv_1 = {k: v[0] for k, v in riv_l.items()}
             halo_1 = {k: v[0] for k, v in halo_l.items()}
             lake_1 = {
-                k: (v[0] if k in ("lakenabr", "dzl", "dzb") else v)
+                k: (v[0] if k in _SHARDED_LAKE_KEYS else v)
                 for k, v in lake_l.items()
             }
             y_1 = {
                 "sf": y_l["sf"][0], "us": y_l["us"][0], "gw": y_l["gw"][0],
-                "riv": y_l["riv"], "lake": y_l["lake"],
+                "riv": y_l["riv"][0], "lake": y_l["lake"],
             }
             fsc_1 = {k: v[0] for k, v in fsc_l.items()}
-            # recompute effkh for exports (same as update_element's)
-            from shud_tpu.core.rhs import update_element as _ue
-
-            m1 = _CellView(cell_1)
-            gw_bc = jnp.where(m1.i_bc > 0, fsc_1["ele_ybc"], y_1["gw"])
-            cu_l = _ue(m1, y_1["sf"], y_1["us"], gw_bc)
-            exp_ix = halo_1["export_idx"]
-            exports = jnp.stack(
-                [y_1["sf"][exp_ix], gw_bc[exp_ix], cu_l.eff_kh[exp_ix]],
-                axis=-1,
-            )  # [B, 3]
-            ghost_all = jax.lax.all_gather(exports, AXIS)  # [P, B, 3]
+            fsr_1 = {k: v[0] for k, v in fsr_l.items()}
 
             from shud_tpu.core.state import ForcingSlice
 
@@ -455,19 +513,18 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
                 )
             }, ele_ybc=fsc_1["ele_ybc"], ele_qbc=fsc_1["ele_qbc"],
                ele_qss=fsc_1["ele_qss"],
-               riv_ybc=fsr_l["riv_ybc"], riv_qbc=fsr_l["riv_qbc"])
+               riv_ybc=fsr_1["riv_ybc"], riv_qbc=fsr_1["riv_qbc"])
             fs_local = {
                 "fs": fs_obj, "ele_ybc": fsc_1["ele_ybc"],
                 "ele_qbc": fsc_1["ele_qbc"], "ele_qss": fsc_1["ele_qss"],
             }
             dy = _local_rhs(
-                None, cell_1, edge_1, seg_1, riv_l, lake_1, halo_1, t_l,
-                y_1, ghost_all, fs_local, fsr_l, close_boundary,
-                jax.lax.axis_index(AXIS),
+                plan, cell_1, edge_1, seg_1, riv_1, lake_1, halo_1, t_l,
+                y_1, fs_local, fsr_1, close_boundary,
             )
             return {
                 "sf": dy["sf"][None], "us": dy["us"][None],
-                "gw": dy["gw"][None], "riv": dy["riv"],
+                "gw": dy["gw"][None], "riv": dy["riv"][None],
                 "lake": dy["lake"],
             }
 
@@ -478,7 +535,7 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
                 shard_specs["riv"], shard_specs["halo"],
                 shard_specs["lake"],
                 {k: fs_cell_spec for k in fs_cell},
-                {"riv_ybc": P(), "riv_qbc": P()},
+                {"riv_ybc": P(AXIS), "riv_qbc": P(AXIS)},
                 y_spec, P(),
             ),
             out_specs=y_spec,
@@ -488,3 +545,22 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
 
     params = (cell, edge, seg, riv, halo, lake_tbl)
     return mesh, rhs_fn, params
+
+
+def place_params(mesh: Mesh, params):
+    """device_put the make_sharded_rhs params tuple with its natural
+    shardings (everything shard-blocked except the replicated lake
+    tables)."""
+    cell, edge, seg, riv, halo, lake = params
+    sh = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def put(tree, s):
+        return jax.tree_util.tree_map(lambda v: jax.device_put(v, s), tree)
+
+    lake_placed = {
+        k: jax.device_put(v, sh if k in _SHARDED_LAKE_KEYS else rep)
+        for k, v in lake.items()
+    }
+    return (put(cell, sh), put(edge, sh), put(seg, sh), put(riv, sh),
+            put(halo, sh), lake_placed)

@@ -13,6 +13,7 @@ from shud_tpu.core.rhs import rhs
 from shud_tpu.core.state import ForcingSlice
 from shud_tpu.parallel.partition import (
     build_sharded_mesh,
+    riv_blocks,
     shard_state,
     unshard_state,
 )
@@ -63,7 +64,8 @@ def test_sharded_rhs_equivalence(ccw, eight_devices):
         "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
         "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss",
     )}
-    fs_riv = {"riv_ybc": jnp.zeros(nr), "riv_qbc": jnp.zeros(nr)}
+    fs_riv = {"riv_ybc": jnp.asarray(riv_blocks(sm, np.zeros(nr))),
+              "riv_qbc": jnp.asarray(riv_blocks(sm, np.zeros(nr)))}
     dy_sh = rhs_fn(0.0, ys, params + (fs_cell, fs_riv))
     flat = unshard_state(sm, {k: np.asarray(v) for k, v in dy_sh.items()})
     assert np.abs(flat - dy_ref).max() < 1e-12
@@ -105,7 +107,8 @@ def test_sharded_rhs_equivalence_lakes(qhh, eight_devices):
         "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
         "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss",
     )}
-    fs_riv = {"riv_ybc": jnp.zeros(nr), "riv_qbc": jnp.zeros(nr)}
+    fs_riv = {"riv_ybc": jnp.asarray(riv_blocks(sm, np.zeros(nr))),
+              "riv_qbc": jnp.asarray(riv_blocks(sm, np.zeros(nr)))}
     dy_sh = rhs_fn(0.0, ys, params + (fs_cell, fs_riv))
     flat = unshard_state(sm, {k: np.asarray(v) for k, v in dy_sh.items()})
     assert np.abs(flat - dy_ref).max() < 1e-10

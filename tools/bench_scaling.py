@@ -70,9 +70,15 @@ def main():
         st = sharded_window_step(inp, md, sm, ys, t0=0.0, tout=10.0)
         jax.block_until_ready(st.y)
         wall = time.time() - t0
-        results.append((p, md.num_ele, sm.b_ghost, wall, int(st.nfe)))
+        plan = sm.plan
+        ppm = plan.bytes_per_eval()
+        agb = plan.allgather_bytes_per_eval(p)
+        results.append((p, md.num_ele, ppm, wall, int(st.nfe)))
         print(
-            f"P={p:3d}  cells={md.num_ele:9d}  ghosts/shard={sm.b_ghost:5d}"
+            f"P={p:3d}  cells={md.num_ele:9d}  rounds={plan.k:2d}"
+            f"  halo {ppm/1024:8.1f} KiB/dev/eval"
+            f"  (all_gather design: {agb/1024:8.1f} KiB,"
+            f" {agb/max(ppm,1):5.1f}x)"
             f"  window={wall*1e3:8.1f} ms  nfe={int(st.nfe)}"
             f"  (compile {compile_s:.1f}s)",
             flush=True,
@@ -83,6 +89,9 @@ def main():
         last = results[-1][3] / results[-1][4]
         print(f"weak-scaling time-per-nfe ratio P={results[-1][0]} vs P=1: "
               f"{base/last:.2f} (1.0 = perfect)")
+        print("comm-volume model: ppermute halo payload is O(edge-cut) per "
+              "device (constant under weak scaling); the all_gather column "
+              "grows O(P).")
 
 
 if __name__ == "__main__":

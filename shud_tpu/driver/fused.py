@@ -63,6 +63,10 @@ ACCUM_KEYS = [
     "q_surf_tot", "q_e2r_sub", "q_e2r_surf", "q_infil", "q_exfil", "e_ic",
     "trans", "evapo",
 ]
+# per-edge flux channels, accumulated only when dt_Qe_subx/surfx are on
+# (Model_Control.cpp:460-465 + MD_initialize.cpp:283-296)
+PER_EDGE_KEYS = ["q_esub0", "q_esub1", "q_esub2",
+                 "q_esurf0", "q_esurf1", "q_esurf2"]
 ACCUM_RIV_KEYS = ["q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf",
                   "y_riv"]
 ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
@@ -72,7 +76,7 @@ ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
                                    "close_boundary", "terrain_radiation",
                                    "swnet_mode", "cryosphere", "use_mega",
-                                   "et_mode"))
+                                   "et_mode", "per_edge_out"))
 def run_interval(
     dm: MeshData,
     tables: ChunkTables,
@@ -99,6 +103,7 @@ def run_interval(
     mbd=None,  # device MegaBlocks (use_mega only)
     ewt_scale=None,  # blocked-layout WRMS mask (use_mega only)
     et_mode: int = 0,
+    per_edge_out: bool = False,  # accumulate QeleSub/Surf per-edge means
 ):
     ne, nr, nl = dm.num_ele, dm.num_riv, dm.num_lake
     dtype = bdf_state.t.dtype
@@ -176,47 +181,105 @@ def run_interval(
         )
 
         def quad_rates(tt, yy):
-            """Basin ET and outlet-discharge rates [m3/min] along the
-            trajectory (exact water-balance quadrature)."""
-            mesh, slc = dm, fs
-            from shud_tpu.core.rhs import update_element as _ue, et_flux
+            """Basin budget rates [m3/min] along the trajectory (exact
+            water-balance quadrature): ET, outlet discharge, open-boundary
+            edge drainage, flux-BC/SS injection, lake precip/evap, and the
+            river non-conservation rate — the reference WaterBalanceDiag's
+            basin columns (WaterBalanceDiag.cpp:440-530) plus lake terms.
 
-            from shud_tpu.core.state import split_y
+            Reuses the production RHS's own diagnostics (rhs_full) so the
+            budget can never drift from the physics actually integrated —
+            one extra RHS evaluation per accepted step, opt-in via
+            SHUD_WB_DIAG=1 like the reference (shud.cpp:70-75)."""
+            mesh, slc = dm, fs
             from shud_tpu.core import physics as _ph
-            from shud_tpu.config import ZERO as _ZERO
+            from shud_tpu.core.rhs import rhs_full as _rhs_full
+            from shud_tpu.core.state import split_y
 
             nl_ = mesh.num_lake if mesh.num_lake > 0 else 0
-            sfq, usq, gwq, rivq, _lk = split_y(yy, ne, nr, nl_)
-            gwq = jnp.where(mesh.i_bc > 0, slc.ele_ybc, gwq)
-            cuq = _ue(mesh, sfq, usq, gwq)
-            esq, euq, egq, tuq, tgq, _e_ic_out, _ = et_flux(
-                mesh, slc, sfq, usq, gwq, cuq.satn
-            )
+            sfq, usq, gwq, rivq, lkq = split_y(yy, ne, nr, nl_)
+            _dy, dg = _rhs_full(mesh, slc, tt, yy,
+                                close_boundary=close_boundary)
+            fdty = yy.dtype
+
             # canopy evaporation: the BUCKET's rate (slc.e_ic) is the mass
             # actually removed from interception storage; the RHS-internal
-            # overwrite (_e_ic_out) is a reporting quirk of the reference
-            eta = slc.e_ic + esq + euq + egq + tuq + tgq
-            # outlet reaches: Manning at zero-depth-gradient (code -1..-3)
+            # overwrite (dg["e_ic"]) is a reporting quirk of the reference
+            e_ic_q = slc.e_ic
+            if nl_ > 0:
+                is_lake = mesh.i_lake > 0
+                # lake cells are inert columns (dsf=dus=dgw=0); the lake
+                # bucket takes P/E directly (accounted below)
+                e_ic_q = jnp.where(is_lake, 0.0, e_ic_q)
+            eta = (e_ic_q + dg["es"] + dg["eu"] + dg["eg"]
+                   + dg["tu"] + dg["tg"])
+
+            is_outlet = (mesh.riv_down < 0) & (mesh.riv_to_lake < 0)
+            qout = jnp.sum(jnp.where(is_outlet, dg["q_riv_down"], 0.0))
+
+            # open-boundary kinematic edge drainage (boundary edges only;
+            # WaterBalanceDiag::basinBoundaryEdgeOutflow_m3min)
+            if close_boundary:
+                qedge = jnp.zeros((), dtype=fdty)
+            else:
+                is_bnd = mesh.nabr < 0
+                if nl_ > 0:
+                    is_bnd = is_bnd & (mesh.lakenabr < 0)
+                qedge = jnp.sum(jnp.where(
+                    is_bnd, dg["q_esurf"] + dg["q_esub"], 0.0))
+
+            # flux BCs and source/sink terms (head BCs excluded, matching
+            # WaterBalanceDiag.cpp:476-494)
+            qbc = jnp.sum(jnp.where(mesh.i_bc < 0, slc.ele_qbc, 0.0)) \
+                + jnp.sum(slc.riv_qbc)
+            qss = jnp.sum(jnp.where(mesh.i_ss != 0, slc.ele_qss, 0.0))
+
+            # river non-conservation: the dA >= -CSarea clamp
+            # (MD_f.cpp:162-166) and the quadratic dA->dStage conversion
+            # (fun_dAtodY, functions.hpp:141-153) make the realised
+            # dV/dt = topw * dStage/dt * L deviate from the flux sum; the
+            # budget carries the deviation as its own column (the
+            # reference's noncons diagnostics, WaterBalanceDiag.cpp:470-530)
             rs = jnp.where(mesh.riv_bc > 0, slc.riv_ybc, rivq)
             csa = jnp.maximum(
                 rs * (mesh.riv_bottom_width + rs * mesh.riv_bank_slope), 0.0
             )
-            per = jnp.maximum(
-                2.0 * jnp.abs(rs) * jnp.sqrt(1.0 + mesh.riv_bank_slope**2)
-                + mesh.riv_bottom_width, 0.0,
+            topw = jnp.maximum(
+                rs * mesh.riv_bank_slope * 2.0 + mesh.riv_bottom_width, 0.0
             )
-            rh = jnp.where(per <= _ZERO, 0.0,
-                           csa / jnp.where(per <= _ZERO, 1.0, per))
-            s_out = mesh.riv_bed_slope + rs * 2.0 / mesh.riv_length
-            q_zdg = _ph.manning_equation(csa, mesh.riv_avg_rough, rh, s_out)
-            from shud_tpu.config import GRAV as _G
+            d_nat = (
+                -dg["q_riv_up"] - dg["q_riv_surf"] - dg["q_riv_sub"]
+                - dg["q_riv_down"] + slc.riv_qbc
+            ) / mesh.riv_length
+            d_cl = jnp.maximum(d_nat, -csa)
+            drv = _ph.fun_da_to_dy(d_cl, topw, mesh.riv_bank_slope)
+            drv = jnp.where(mesh.riv_bc > 0, 0.0, drv)
+            nc = jnp.sum((topw * drv - d_nat) * mesh.riv_length)
+            if nl_ > 0:
+                # the reference runs river-segment fluxes against lake
+                # cells and then zeroes those cells' DY (MD_f.cpp:146-150)
+                # — the discarded exchange is non-conservation too
+                nc = nc + jnp.sum(jnp.where(
+                    is_lake, dg["q_surf_tot"] + dg["q_sub_tot"], 0.0))
 
-            q_crit = csa * jnp.sqrt(_G * jnp.maximum(rs, 1e-30)) * 60.0
-            is_outlet = (mesh.riv_down < 0) & (mesh.riv_to_lake < 0)
-            qo = jnp.where(mesh.riv_outlet_code == -4, q_crit, q_zdg)
+            # lake external exchange on the bathymetry area (goes beyond the
+            # reference, which leaves lakes out of its basin budget)
+            if nl_ > 0:
+                lake_p = jnp.sum(dg["q_lake_prcp"] * dg["lake_area"])
+                lake_e = jnp.sum(dg["q_lake_evap"] * dg["lake_area"])
+            else:
+                lake_p = jnp.zeros((), dtype=fdty)
+                lake_e = jnp.zeros((), dtype=fdty)
+
             return {
                 "et": jnp.sum(eta * mesh.area),
-                "qout": jnp.sum(jnp.where(is_outlet, qo, 0.0)),
+                "qout": qout,
+                "qedge": qedge,
+                "qbc": qbc,
+                "qss": qss,
+                "nc": nc,
+                "lake_p": lake_p,
+                "lake_e": lake_e,
             }
 
         if use_mega:
@@ -251,12 +314,14 @@ def run_interval(
         # megakernel path this is one extra kernel launch — the XLA
         # rhs_full chain here cost more than the entire solve on small
         # meshes (docs/PERF.md).
-        if use_mega:
+        if use_mega and not per_edge_out:
             from shud_tpu.core.pallas_mega import rhs_mega_diag
 
             diag = rhs_mega_diag(mbd, fcell, friv, segfu, st.y,
                                  close_boundary=close_boundary, flake=flake)
         else:
+            # per-edge channels need the full [Ne,3] flux arrays, which the
+            # megakernel diag does not expose — take the XLA diag then
             _, diag = rhs_full(dm, fs, tout, y, close_boundary=close_boundary)
         es, eu, eg = diag["es"], diag["eu"], diag["eg"]
         tu, tg, e_ic = diag["tu"], diag["tg"], diag["e_ic"]
@@ -273,13 +338,17 @@ def run_interval(
             "q_infil": diag["q_infil"], "q_exfil": diag["q_exfil"],
             "e_ic": e_ic, "trans": tu + tg, "evapo": es + eu + eg,
         }
+        if per_edge_out:
+            for j in range(3):
+                vals_e[f"q_esub{j}"] = diag["q_esub"][:, j]
+                vals_e[f"q_esurf{j}"] = diag["q_esurf"][:, j]
         riv_stage = y[3 * ne : 3 * ne + nr]
         vals_r = {
             "q_riv_up": diag["q_riv_up"], "q_riv_down": diag["q_riv_down"],
             "q_riv_sub": diag["q_riv_sub"], "q_riv_surf": diag["q_riv_surf"],
             "y_riv": riv_stage,
         }
-        acc_e = {k: acc_e[k] + vals_e[k] for k in ACCUM_KEYS}
+        acc_e = {k: acc_e[k] + vals_e[k] for k in accum_keys}
         acc_r = {k: acc_r[k] + vals_r[k] for k in ACCUM_RIV_KEYS}
         if nl > 0:
             vals_l = {
@@ -294,7 +363,8 @@ def run_interval(
         return (st, out.state, cryo, acc_e, acc_r, acc_l), (riv_stage,
                                                             diag["q_riv_down"])
 
-    acc_e0 = {k: zeros_e for k in ACCUM_KEYS}
+    accum_keys = ACCUM_KEYS + PER_EDGE_KEYS if per_edge_out else ACCUM_KEYS
+    acc_e0 = {k: zeros_e for k in accum_keys}
     acc_r0 = {k: zeros_r for k in ACCUM_RIV_KEYS}
     acc_l0 = {k: zeros_l for k in ACCUM_LAKE_KEYS}
     ws = jnp.arange(n_windows, dtype=dtype)
@@ -450,8 +520,9 @@ class FusedSimulation:
         # ET/outlet rates on every accepted step costs a partial RHS.
         if wb_exact is None:
             wb_exact = os.environ.get("SHUD_WB_DIAG", "0") not in ("0", "")
-        quad0 = ({"et": jnp.zeros((), dtype=fd),
-                  "qout": jnp.zeros((), dtype=fd)} if wb_exact else None)
+        quad0 = ({k: jnp.zeros((), dtype=fd)
+                  for k in ("et", "qout", "qedge", "qbc", "qss", "nc",
+                            "lake_p", "lake_e")} if wb_exact else None)
         y_solver = y0
         if mbd is not None:
             from shud_tpu.core.pallas_mega import y_to_z
@@ -498,6 +569,7 @@ class FusedSimulation:
             bc_tables=bc_arg,
             use_mega=self.use_mega, mbd=self.mbd, ewt_scale=self.ewt_scale,
             et_mode=int(self.fr.et_mode),
+            per_edge_out=bool(cs.dt_Qe_subx > 0 or cs.dt_Qe_surfx > 0),
         )
         self.bdf = st
         self.buckets = bk

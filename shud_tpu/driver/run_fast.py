@@ -61,18 +61,29 @@ class IntervalWriter:
         # optional NetCDF (UGRID) mirrors (OUTPUT_MODE NETCDF|BOTH)
         self.nc = None
         self.nc_riv = None
+        self.nc_lake = None
         if cs.output_mode in ("NETCDF", "BOTH"):
-            from shud_tpu.io.ncoutput import UgridSink
+            from shud_tpu.io.ncoutput import UgridSink, read_ncoutput_cfg
 
+            nccfg = read_ncoutput_cfg(
+                os.path.join(paths.inpath, cs.ncoutput_cfg)
+                if cs.ncoutput_cfg and not os.path.isabs(cs.ncoutput_cfg)
+                else cs.ncoutput_cfg)
+            crs_wkt = nccfg.get("CRS_WKT_TEXT", "")
             self.nc = UgridSink(
                 os.path.join(paths.outpath, f"{paths.project}.ele.nc"),
                 md, "ele", sim.inp.nodes[:, 1:4], sim.inp.tri[:, 1:4],
-                start,
+                start, crs_wkt=crs_wkt,
             )
             self.nc_riv = UgridSink(
                 os.path.join(paths.outpath, f"{paths.project}.riv.nc"),
-                md, "riv", start_yyyymmdd=start,
+                md, "riv", start_yyyymmdd=start, crs_wkt=crs_wkt,
             )
+            if md.num_lake > 0:
+                self.nc_lake = UgridSink(
+                    os.path.join(paths.outpath, f"{paths.project}.lak.nc"),
+                    md, "lake", start_yyyymmdd=start, crs_wkt=crs_wkt,
+                )
             if cs.output_mode == "NETCDF":
                 b = False  # LEGACY writers off in pure-NETCDF mode
         ne, nr = md.num_ele, md.num_riv
@@ -90,6 +101,17 @@ class IntervalWriter:
         ch("eleqsurf", cs.dt_Qe_surf, "q_surf_tot", True, ne)
         ch("eleqrsub", cs.dt_Qe_rsub, "q_e2r_sub", True, ne)
         ch("eleqrsurf", cs.dt_Qe_rsurf, "q_e2r_surf", True, ne)
+        # per-edge flux channels (reference registers them at the dt_Qe_sub
+        # / dt_Qe_surf interval, MD_initialize.cpp:283-296; fall back to
+        # the *x key when the total-channel interval is off)
+        if cs.dt_Qe_subx > 0:
+            dtx = cs.dt_Qe_sub or cs.dt_Qe_subx
+            for j in range(3):
+                ch(f"eleqsub{j + 1}", dtx, f"q_esub{j}", True, ne)
+        if cs.dt_Qe_surfx > 0:
+            dtx = cs.dt_Qe_surf or cs.dt_Qe_surfx
+            for j in range(3):
+                ch(f"eleqsurf{j + 1}", dtx, f"q_esurf{j}", True, ne)
         ch("elevinfil", cs.dt_qe_infil, "q_infil", True, ne)
         ch("elevexfil", cs.dt_qe_infil, "q_exfil", True, ne)
         ch("elevetic", cs.dt_qe_et, "e_ic", True, ne)
@@ -103,14 +125,6 @@ class IntervalWriter:
         ch("rivqsub", cs.dt_Qr_sub, "q_riv_sub", True, nr, riv=True)
         ch("rivqsurf", cs.dt_Qr_surf, "q_riv_surf", True, nr, riv=True)
         ch("rivystage", cs.dt_yr_stage, "y_riv", False, nr, riv=True)
-        if self.nc is not None:
-            for _pc, key, _fx, riv in self.channels:
-                if riv == "lake":
-                    continue
-                sink = self.nc_riv if riv else self.nc
-                name = key
-                if name not in sink.vars:
-                    sink.add_channel(name)
         nl = md.num_lake
         if nl > 0:
             ch("lakystage", cs.dt_lake, "y_lake", False, nl, riv="lake")
@@ -120,6 +134,14 @@ class IntervalWriter:
             ch("lakqrivin", cs.dt_lake, "q_lake_rivin", True, nl, riv="lake")
             ch("lakqsurf", cs.dt_lake, "q_lake_surf", True, nl, riv="lake")
             ch("lakqsub", cs.dt_lake, "q_lake_sub", True, nl, riv="lake")
+        if self.nc is not None:
+            for _pc, key, _fx, riv in self.channels:
+                if riv == "lake":
+                    sink = self.nc_lake
+                else:
+                    sink = self.nc_riv if riv else self.nc
+                if sink is not None and key not in sink.vars:
+                    sink.add_channel(key)
         if self.interval is None:
             self.interval = 1440
 
@@ -141,10 +163,14 @@ class IntervalWriter:
                 pc.fa.write(
                     f"{t_q:.1f}\t" + "\t".join(f"{v:e}" for v in out) + "\t\n"
                 )
-            if self.nc is not None and riv != "lake":
-                sink = self.nc_riv if riv else self.nc
-                full = np.asarray(vals) * pc.tau
-                sink.write(key, t_q, full)
+            if self.nc is not None:
+                if riv == "lake":
+                    sink = self.nc_lake
+                else:
+                    sink = self.nc_riv if riv else self.nc
+                if sink is not None:
+                    full = np.asarray(vals) * pc.tau
+                    sink.write(key, t_q, full)
 
     def close(self):
         for pc, *_ in self.channels:
@@ -152,6 +178,8 @@ class IntervalWriter:
         if self.nc is not None:
             self.nc.close()
             self.nc_riv.close()
+            if self.nc_lake is not None:
+                self.nc_lake.close()
 
 
 def run_project_fast(project: str, base: str = ".", end_day=None,
@@ -262,11 +290,20 @@ def run_project_fast(project: str, base: str = ".", end_day=None,
         quad_kwargs = {}
         if quad0 is not None:
             q1 = {k: float(v) for k, v in host["quad"].items()}
-            quad_kwargs = dict(et_m3=q1["et"] - quad0["et"],
-                               qout_m3=q1["qout"] - quad0["qout"])
+            quad_kwargs = dict(
+                et_m3=q1["et"] - quad0["et"],
+                qout_m3=q1["qout"] - quad0["qout"],
+                qedge_m3=q1["qedge"] - quad0["qedge"],
+                qbc_m3=q1["qbc"] - quad0["qbc"],
+                qss_m3=q1["qss"] - quad0["qss"],
+                nc_m3=q1["nc"] - quad0["nc"],
+                lake_p_m3=q1["lake_p"] - quad0["lake_p"],
+                lake_e_m3=q1["lake_e"] - quad0["lake_e"],
+            )
         wb.interval(t0, sim.t, y0, host["y"], mean_e, mean_r,
                     buckets0=bk0,
                     buckets1=(host["ic"], host["snow"]),
+                    mean_lake=mean_l,
                     **quad_kwargs)
         if wb_ele is not None:
             wb_ele.push(sim.t, wb.element_residuals(

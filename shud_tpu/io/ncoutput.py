@@ -10,12 +10,42 @@ storage layer); enabled by ``OUTPUT_MODE NETCDF|BOTH``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def read_ncoutput_cfg(path: str) -> dict:
+    """Key-value nc-output config (NetcdfOutputContext.cpp:1093-1125):
+    recognised keys SCHEMA, OUT_DIR, CRS_WKT (path to a WKT text file,
+    resolved relative to the directory holding the cfg)."""
+    out = {}
+    if not path or not os.path.exists(path):
+        return out
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(None, 1)
+            if len(parts) != 2:
+                continue
+            out[parts[0].upper()] = parts[1].strip()
+    wkt_path = out.get("CRS_WKT")
+    if wkt_path:
+        if not os.path.isabs(wkt_path):
+            wkt_path = os.path.join(base, wkt_path)
+        if os.path.exists(wkt_path):
+            with open(wkt_path) as fh:
+                out["CRS_WKT_TEXT"] = fh.read().strip()
+    return out
 
 
 class UgridSink:
     def __init__(self, path: str, md, kind: str, node_xyz=None,
-                 face_nodes=None, start_yyyymmdd: int = 0):
+                 face_nodes=None, start_yyyymmdd: int = 0,
+                 crs_wkt: str = ""):
         import h5py
 
         self.f = h5py.File(path, "w")
@@ -23,6 +53,14 @@ class UgridSink:
         f.attrs["Conventions"] = "CF-1.8 UGRID-1.0"
         f.attrs["source"] = "shud_tpu"
         f.attrs["start_yyyymmdd"] = start_yyyymmdd
+        # CRS variable (NetcdfOutputContext.cpp:446-460): a scalar int
+        # carrying the WKT as spatial_ref/crs_wkt attributes
+        self.has_crs = bool(crs_wkt)
+        if crs_wkt:
+            crs = f.create_dataset("crs", data=np.int32(0))
+            crs.attrs["long_name"] = "coordinate reference system"
+            crs.attrs["spatial_ref"] = crs_wkt
+            crs.attrs["crs_wkt"] = crs_wkt
         self.kind = kind
         n = {"ele": md.num_ele, "riv": md.num_riv,
              "lake": md.num_lake}[kind]
@@ -67,6 +105,8 @@ class UgridSink:
         )
         if units:
             v.attrs["units"] = units
+        if self.has_crs:
+            v.attrs["grid_mapping"] = "crs"
         v.dims[0].attach_scale(self.time_ds)
         v.dims[1].attach_scale(self.entity)
         self.vars[name] = v

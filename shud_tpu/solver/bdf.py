@@ -274,7 +274,12 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
         )
 
         if quad_fn is not None:
-            rates = quad_fn(t_new, y_new, params)
+            # midpoint rule: one rate evaluation per accepted step, 2nd
+            # order like the reference's SHUD_WB_DIAG_TRAPZ accumulation
+            # (WaterBalanceDiag.cpp:500-515) but without carrying the
+            # previous-rate state
+            y_mid = tmap(lambda a, b: 0.5 * (a + b), s.y, y_new)
+            rates = quad_fn(s.t + 0.5 * h, y_mid, params)
             new_quad = jax.tree_util.tree_map(
                 lambda acc, r: acc + jnp.where(accept, h * r, 0.0),
                 s.quad, rates,

@@ -172,3 +172,43 @@ def test_project_file_roundtrip(tmp_path):
     fp3 = read_project_file(fn)
     assert fp3.infile("para.soil") == "/elsewhere/other.para.soil"
     assert fp3.infile("sp.mesh") == fp.infile("sp.mesh")
+
+
+def test_per_edge_flux_channels(tmp_path):
+    """dt_Qe_subx/surfx emit the six per-edge channels
+    prj.eleqsub1..3/eleqsurf1..3 (Model_Control.cpp:460-465,
+    MD_initialize.cpp:283-296, names IO.cpp:159-166), and their sum plus
+    the river-exchange term reproduces the total-flux channels."""
+    from shud_tpu.driver.run_fast import run_project_fast
+    from shud_tpu.io.output import read_dat
+
+    inp = make_synthetic_project(8, 4, end_day=1.0)
+    inp.control.dt_Qe_subx = 1440
+    inp.control.dt_Qe_surfx = 1440
+    inp.control.dt_Qe_sub = 1440
+    inp.control.dt_Qe_surf = 1440
+    inp.control.dt_Qe_rsub = 1440
+    inp.control.dt_Qe_rsurf = 1440
+    out = str(tmp_path / "syn.out")
+    run_project_fast("synthetic", inp=inp, end_day=1.0, verbose=False,
+                     outpath=out)
+    import os as _os
+
+    per_edge = {}
+    for base in ("eleqsub", "eleqsurf"):
+        for j in (1, 2, 3):
+            path = _os.path.join(out, f"synthetic.{base}{j}.dat")
+            assert _os.path.exists(path), path
+            _, _, t, data = read_dat(path)
+            per_edge[f"{base}{j}"] = data[0]
+    _, _, _, tot_sub = read_dat(_os.path.join(out, "synthetic.eleqsub.dat"))
+    _, _, _, tot_surf = read_dat(_os.path.join(out, "synthetic.eleqsurf.dat"))
+    _, _, _, e2r_sub = read_dat(_os.path.join(out, "synthetic.eleqrsub.dat"))
+    _, _, _, e2r_surf = read_dat(
+        _os.path.join(out, "synthetic.eleqrsurf.dat"))
+    sub_sum = (per_edge["eleqsub1"] + per_edge["eleqsub2"]
+               + per_edge["eleqsub3"] + e2r_sub[0])
+    surf_sum = (per_edge["eleqsurf1"] + per_edge["eleqsurf2"]
+                + per_edge["eleqsurf3"] + e2r_surf[0])
+    np.testing.assert_allclose(sub_sum, tot_sub[0], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(surf_sum, tot_surf[0], rtol=1e-10, atol=1e-12)

@@ -159,3 +159,36 @@ def test_ugrid_output(tmp_path, ccw):
         assert f["eleygw"].shape == (3, md.num_ele)
         assert list(f["time"][:]) == [0.0, 1440.0, 2880.0]
         assert f["mesh_face_nodes"].shape == (md.num_ele, 3)
+
+
+def test_ugrid_crs_and_lake_sink(tmp_path, qhh):
+    """CRS variable (NetcdfOutputContext.cpp:446-460) and the lake sink
+    (createLakeSink, NetcdfOutputContext.cpp:1203-1205) that round 1
+    omitted: the crs scalar carries the WKT as spatial_ref/crs_wkt attrs,
+    channels reference it via grid_mapping, and a lake-kind sink appends
+    per-lake records."""
+    import h5py
+
+    from shud_tpu.io.ncoutput import UgridSink, read_ncoutput_cfg
+
+    inp, md, dm = qhh
+    wkt = 'PROJCS["WGS 84 / UTM zone 47N",GEOGCS["WGS 84"]]'
+    sink = UgridSink(str(tmp_path / "lak.nc"), md, "lake",
+                     start_yyyymmdd=20000101, crs_wkt=wkt)
+    sink.add_channel("lakystage", units="m")
+    sink.write("lakystage", 0.0, np.arange(md.num_lake, dtype=float))
+    sink.write("lakystage", 1440.0, np.arange(md.num_lake, dtype=float) + 1)
+    sink.close()
+    with h5py.File(str(tmp_path / "lak.nc")) as f:
+        assert f["crs"].attrs["spatial_ref"] == wkt
+        assert f["crs"].attrs["crs_wkt"] == wkt
+        assert f["lakystage"].attrs["grid_mapping"] == "crs"
+        assert f["lakystage"].shape == (2, md.num_lake)
+        np.testing.assert_allclose(f["time"][:], [0.0, 1440.0])
+
+    # cfg parsing: CRS_WKT resolved relative to the cfg file's directory
+    (tmp_path / "epsg.wkt").write_text(wkt)
+    (tmp_path / "nc.cfg").write_text("CRS_WKT epsg.wkt\nOUT_DIR out\n")
+    cfg = read_ncoutput_cfg(str(tmp_path / "nc.cfg"))
+    assert cfg["CRS_WKT_TEXT"] == wkt
+    assert cfg["OUT_DIR"] == "out"

@@ -66,6 +66,15 @@ def main(argv=None):
                         "to simulate a pod slice on CPU)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--cmaes-dir", default=None, metavar="DIR",
+                   help="external-calibration exchange directory (the "
+                        "reference's -e dir_cmaes hook, CommandIn.cpp:"
+                        "210-212): read DIR/calib_varnames.txt + "
+                        "DIR/calib_x.txt (globalCal::copy vector, "
+                        "ModelConfigure.cpp:368-375), run, then write "
+                        "DIR/objective.txt (-NSE of daily outlet "
+                        "discharge vs tsd.obs) and the applied "
+                        "DIR/cfg.calib.out for the external driver")
     p.add_argument("--distributed", nargs="?", const="", default=None,
                    metavar="COORD:PORT,NPROC,RANK",
                    help="multi-host pod-slice run: initialise "
@@ -114,6 +123,8 @@ def main(argv=None):
         from shud_tpu.io.project import read_calib
 
         calib = read_calib(args.calib)
+    if args.cmaes_dir:
+        calib = _apply_cmaes_dir(args.cmaes_dir, calib)
 
     if inp is not None and (args.shards is not None or args.split
                             or args.per_window or args.dummy):
@@ -174,6 +185,64 @@ def main(argv=None):
         except ShudError as e:  # reference myexit: typed exit codes
             print(f"FATAL: {e}", flush=True)
             raise SystemExit(e.code)
+        if args.cmaes_dir:
+            _write_cmaes_objective(args.cmaes_dir, args.project, args.base,
+                                   args.output, calib,
+                                   quiet=args.quiet)
+
+
+def _apply_cmaes_dir(dir_cmaes: str, base_calib):
+    """Read the external driver's candidate vector
+    (DIR/calib_varnames.txt: one calibration key per line;
+    DIR/calib_x.txt: whitespace/newline-separated values) and apply it via
+    the globalCal::copy semantics (ModelConfigure.cpp:368-375: nx >= nv,
+    pairwise push)."""
+    import os
+
+    import numpy as np
+
+    from shud_tpu.utils.calibrate import calib_from_vector
+
+    vn_path = os.path.join(dir_cmaes, "calib_varnames.txt")
+    x_path = os.path.join(dir_cmaes, "calib_x.txt")
+    if not (os.path.exists(vn_path) and os.path.exists(x_path)):
+        return base_calib
+    with open(vn_path) as fh:
+        names = [ln.strip() for ln in fh if ln.strip()
+                 and not ln.startswith("#")]
+    x = np.loadtxt(x_path).ravel()
+    if len(x) < len(names):  # ERRCONSIS in the reference
+        raise SystemExit(
+            f"--cmaes-dir: {len(names)} varnames but only {len(x)} values")
+    return calib_from_vector(names, x[: len(names)], base=base_calib)
+
+
+def _write_cmaes_objective(dir_cmaes: str, project: str, base: str,
+                           outpath, calib, quiet=False):
+    """Post-run: objective (-NSE of daily outlet discharge vs tsd.obs) and
+    the applied calibration, for the external CMA-ES driver to collect."""
+    import os
+
+    from shud_tpu.analysis import Run
+    from shud_tpu.io.project import write_calib
+
+    inpath = os.path.join(base, "input", project)
+    out = outpath or os.path.join(base, "output", f"{project}.out")
+    run = Run(project, inpath=inpath, outpath=out)
+    obj = float("nan")
+    try:
+        obj = -float(run.nse())  # aligned daily outlet-vs-gauge NSE
+    except (OSError, KeyError, IndexError, ValueError) as e:
+        if not quiet:
+            print(f"--cmaes-dir: objective unavailable ({e})")
+    os.makedirs(dir_cmaes, exist_ok=True)
+    with open(os.path.join(dir_cmaes, "objective.txt"), "w") as fh:
+        fh.write(f"{obj:.10e}\n")
+    if calib is not None:
+        write_calib(calib, os.path.join(dir_cmaes, "cfg.calib.out"))
+    if not quiet:
+        print(f"--cmaes-dir: objective {obj:.6f} -> "
+              f"{os.path.join(dir_cmaes, 'objective.txt')}")
 
 
 if __name__ == "__main__":

@@ -30,9 +30,10 @@ op-for-op (local-datum head differences from f64-precomputed edge/segment
 dz).  Transcendental differences vs XLA: cbrt/pow are evaluated as
 exp(log)/Newton-polish (Mosaic has no cbrt/pow primitives), <=2 ulp.
 
-Eligibility: f32, no lakes, mesh fits in VMEM (``build_mega_blocks``
-returns None otherwise); lake meshes (qhh) use the XLA path or the banded
-``pallas_edge`` kernel.
+Eligibility: f32, mesh fits in VMEM (``build_mega_blocks`` returns None
+otherwise).  Lake meshes are supported (qhh runs the megakernel; the
+in-kernel lake-stage branches work against f64-precomputed edge datums —
+see docs/PERF.md qhh table).
 
 A hand-derived tangent kernel (``_mega_kernel_jvp``) exposes the exact
 directional derivative through ``jax.custom_jvp`` so Newton–Krylov J·v

@@ -4,8 +4,10 @@ Replaces SUNDIALS CVODE (BDF + matrix-free SPGMR Newton–Krylov; reference
 configuration at ``src/Equations/cvode_config.cpp:149-197``) with a
 TPU-native design:
 
-* variable-step, variable-order BDF(1,2) with history carried across solver
-  windows (like CVODE, the method does NOT restart at forcing boundaries);
+* variable-step, variable-order BDF(1,2,3) with history carried across
+  solver windows (like CVODE, the method does NOT restart at forcing
+  boundaries); ``SolverConfig.max_order`` picks the cap (see
+  docs/VALIDATION.md for the order-2 vs order-3 measurement);
 * modified Newton inner iterations with **exact** Jacobian-vector products
   from ``jax.linearize`` (CVODE can only difference-quotient J·v);
 * matrix-free GMRES(m) for the Newton linear systems (SPGMR equivalent);
@@ -61,6 +63,9 @@ class SolverConfig(NamedTuple):
     eta_max: float = 6.0
     eta_min: float = 0.2
     max_steps: int = 100000  # per-window backstop
+    max_order: int = 2  # BDF order cap (1..3); CVODE runs up to 5, but on
+    # 10-min forcing windows the measured NFE gain beyond 2 is small —
+    # docs/VALIDATION.md records the order-3 measurement
 
 
 class BDFState(NamedTuple):
@@ -69,12 +74,14 @@ class BDFState(NamedTuple):
     y_prev: object  # pytree, state at t - h_prev
     h: jnp.ndarray  # next step size to attempt
     h_prev: jnp.ndarray  # last successful step size
-    order: jnp.ndarray  # current order (1 or 2)
+    order: jnp.ndarray  # current order (1..max_order)
     nfe: jnp.ndarray
     nsteps: jnp.ndarray
     nfails: jnp.ndarray
     nnifails: jnp.ndarray
     quad: object = None  # optional pytree of flux-quadrature accumulators
+    y_prev2: object = None  # pytree, state at t - h_prev - h_prev2 (BDF3)
+    h_prev2: jnp.ndarray = None
 
 
 def bdf_init(t0, y0, cfg: SolverConfig, quad0=None) -> BDFState:
@@ -90,6 +97,8 @@ def bdf_init(t0, y0, cfg: SolverConfig, quad0=None) -> BDFState:
         order=jnp.ones((), dtype=jnp.int32),
         nfe=z, nsteps=z, nfails=z, nnifails=z,
         quad=quad0,
+        y_prev2=y0,
+        h_prev2=jnp.asarray(cfg.h_init, dtype=dtype),
     )
 
 
@@ -225,13 +234,16 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
         h = jnp.minimum(jnp.minimum(s.h, cfg.h_max), tout - s.t)
         h = jnp.maximum(h, cfg.h_min)
         tau = s.h_prev
+        tau2 = s.h_prev2
         use2 = s.order >= 2
+        use3 = s.order >= 3
 
         fy0 = rhs(s.t, s.y)  # slope at the current point (for predictors)
 
         # predictors matched to each order's accuracy:
         #  order 1: forward Euler (error O(h^2), ~2x the BDF1 LTE)
         #  order 2: quadratic Hermite through (y_prev, y, fy0) (error O(h^3))
+        #  order 3: cubic Hermite through (y_prev2, y_prev, y, fy0) (O(h^4))
         y_pred1 = taxpy(h, fy0, s.y)
         a_coef = tmap(
             lambda lp, ly, lf: (lp - ly + lf * tau) / (tau * tau),
@@ -241,6 +253,24 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
             lambda ly, lf, la: ly + lf * h + la * h * h, s.y, fy0, a_coef
         )
         y_pred = twhere(use2, y_pred2, y_pred1)
+        if cfg.max_order >= 3:
+            # Hermite divided differences, nodes [t-tau-tau2, t-tau, t, t]
+            w01 = 1.0 / tau2          # 1/(z1-z0)
+            w12 = 1.0 / tau           # 1/(z2-z1)
+            w02 = 1.0 / (tau + tau2)  # 1/(z2-z0)
+            e0 = h + tau + tau2  # (t_new - z0)
+            e1 = h + tau         # (t_new - z1)
+
+            def cubic(lp2, lp1, ly, lf):
+                d01 = (lp1 - lp2) * w01
+                d12 = (ly - lp1) * w12
+                d2_012 = (d12 - d01) * w02
+                d2_122 = (lf - d12) * w12
+                d3 = (d2_122 - d2_012) * w02
+                return lp2 + d01 * e0 + d2_012 * e0 * e1 + d3 * e0 * e1 * h
+
+            y_pred3 = tmap(cubic, s.y_prev2, s.y_prev, s.y, fy0)
+            y_pred = twhere(use3, y_pred3, y_pred)
 
         # variable-step BDF coefficients
         r = h / tau
@@ -250,6 +280,26 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
         c0_2 = tmap(lambda ly, lp: a1_2 * ly + a2_2 * lp, s.y, s.y_prev)
         c0 = twhere(use2, c0_2, s.y)
         bh = jnp.where(use2, b_2, 1.0) * h
+        if cfg.max_order >= 3:
+            # variable-step BDF3 via the Lagrange-derivative form: the
+            # cubic through (t_new, t, t-tau, t-tau-tau2) satisfies
+            # f(y_new) = g0 y_new + g1 y + g2 y_prev + g3 y_prev2, so the
+            # Newton fixed point is y = c0 + (1/g0) f with
+            # c0 = -(g1 y + g2 y_prev + g3 y_prev2)/g0.  Equal steps
+            # recover the textbook 18/11, -9/11, 2/11, 6/11 weights.
+            s1 = h + tau
+            s2 = h + tau + tau2
+            g0 = 1.0 / h + 1.0 / s1 + 1.0 / s2
+            g1 = -(s1 * s2) / (h * tau * (tau + tau2))
+            g2 = (h * s2) / (s1 * tau * tau2)
+            g3 = -(h * s1) / (s2 * (tau + tau2) * tau2)
+            c0_3 = tmap(
+                lambda ly, lp, lp2:
+                -(g1 * ly + g2 * lp + g3 * lp2) / g0,
+                s.y, s.y_prev, s.y_prev2,
+            )
+            c0 = twhere(use3, c0_3, c0)
+            bh = jnp.where(use3, 1.0 / g0, bh)
 
         t_new = s.t + h
         y_new, conv, nfe_n = _newton(rhs, t_new, y_pred, c0, bh, ewt, cfg)
@@ -261,7 +311,7 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
         at_hmin = h <= cfg.h_min * (1 + 1e-9)
         accept = accept | (at_hmin & conv)
 
-        order_p1 = jnp.where(use2, 3.0, 2.0)
+        order_p1 = (s.order + 1).astype(err.dtype)
         eta_raw = cfg.safety * (1.0 / jnp.maximum(err, 1e-10)) ** (1.0 / order_p1)
         h_acc = h * jnp.clip(eta_raw, cfg.eta_min, cfg.eta_max)
         h_rej = jnp.where(conv, h * jnp.clip(eta_raw, 0.1, 0.5), h * 0.25)
@@ -269,7 +319,7 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
 
         new_order = jnp.where(
             accept,
-            jnp.minimum(s.order + 1, 2),
+            jnp.minimum(s.order + 1, cfg.max_order),
             jnp.where(conv, s.order, jnp.ones_like(s.order)),
         )
 
@@ -301,6 +351,8 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
             nfails=s.nfails + jnp.where(conv & ~accept, one, zero),
             nnifails=s.nnifails + jnp.where(conv, zero, one),
             quad=new_quad,
+            y_prev2=twhere(accept, s.y_prev, s.y_prev2),
+            h_prev2=jnp.where(accept, s.h_prev, s.h_prev2),
         )
 
     return lax.while_loop(step_cond, step_body, state)

@@ -24,6 +24,11 @@ from shud_tpu.utils.reorder import (localize_project,  # noqa: E402
                                     permute_project, rcm_permutation)
 from shud_tpu.utils.synthetic import make_synthetic_project  # noqa: E402
 
+# interpret-mode Pallas on CPU is minutes-per-suite; the kernels are
+# exercised natively on TPU by /verify and bench runs.  CI budget runs
+# use `pytest -m "not slow"` (pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def _rand_state(ne, seed=1):
     rng = np.random.default_rng(seed)

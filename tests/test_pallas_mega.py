@@ -23,6 +23,11 @@ from shud_tpu.core.pallas_mega import (
 from shud_tpu.core.rhs import rhs
 from shud_tpu.core.state import ForcingSlice
 
+# interpret-mode Pallas on CPU is minutes-per-suite; the kernels are
+# exercised natively on TPU by /verify and bench runs.  CI budget runs
+# use `pytest -m "not slow"` (pytest.ini).
+pytestmark = pytest.mark.slow
+
 F32 = jnp.float32
 
 

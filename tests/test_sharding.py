@@ -114,6 +114,7 @@ def test_sharded_rhs_equivalence_lakes(qhh, eight_devices):
     assert np.abs(flat - dy_ref).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_multiwindow_trajectory():
     """ShardedSimulation (multi-window, persistent BDF state over 4 shards)
     vs the single-device driver over the same 6 windows."""

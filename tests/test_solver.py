@@ -105,3 +105,31 @@ def test_ccw_adaptive_vs_fixed_truth(ccw):
     assert d[2 * ne : 3 * ne].max() < 5e-4  # gw heads within tolerance class
     assert d[3 * ne :].max() < 5e-4  # river stages
     assert int(st.nnifails) == 0
+
+
+def test_toy_stiff_accuracy_order3():
+    """max_order=3: the BDF3 coefficients (Lagrange-derivative form) and
+    cubic Hermite predictor integrate the stiff toy correctly and reach
+    order 3 on smooth stretches (fewer steps than the order-2 cap at the
+    same tolerance)."""
+    def f(t, y, k):
+        return jnp.stack([-k * y[0] + y[1],
+                          -0.1 * y[1] + 0.05 * jnp.sin(y[0])])
+
+    from scipy.integrate import solve_ivp
+
+    ref = solve_ivp(
+        lambda t, y: np.array([-50.0 * y[0] + y[1],
+                               -0.1 * y[1] + 0.05 * np.sin(y[0])]),
+        (0, 10), [1.0, 0.5], method="BDF", rtol=1e-10, atol=1e-12,
+    )
+    res = {}
+    for mo in (2, 3):
+        cfg = SolverConfig(rtol=1e-6, atol=1e-9, h_max=1e9, h_init=1e-4,
+                           max_order=mo)
+        st = bdf_init(0.0, jnp.array([1.0, 0.5]), cfg)
+        st = solve_to(f, st, 10.0, 50.0, cfg)
+        assert np.abs(np.asarray(st.y) - ref.y[:, -1]).max() < 1e-4, mo
+        res[mo] = int(st.nsteps)
+    # on a smooth problem the higher order takes fewer steps
+    assert res[3] < res[2], res

@@ -12,12 +12,23 @@ Faithful structural notes (kept from the reference):
 * recharge/exfiltration are FROZEN during the groundwater solve (f_loop3
   recomputes only lateral fluxes);
 * river dV is converted by the top area, not the bank-slope quadratic
-  (f_applyDYi flag 4);
-* the lake sub-system derivative is not assembled (zero here).
+  (f_applyDYi flag 4).
 One pure-function deviation: the reference evaluates the ET partition with
 whatever element state the previous RHS call left behind; here it is
 evaluated once per window at the frozen stage states (within splitting
 error).
+
+Lake deviation (documented): the reference allocates a 5th CVODE instance
+for lakes (shud.cpp:171-357 ``mem5``/``f_lake``) but its ``f_loop5`` is
+EMPTY and ``f_applyDYi(flag=5)`` never writes DY
+(MD_f_uncouple.cpp:107-109,203-212) — the lake derivative is left
+unassembled, so ``-g`` on a lake mesh integrates garbage upstream.  Here
+the 5th sub-solve is real: the implicit-mode lake budget
+(P − E + (RivIn + Qsub + Qsurf)/A(stage), MD_f.cpp:180-191) is advanced
+with element/river states frozen at their staged values, and the frozen
+lake stage feeds the lake-bank branches of the surface/groundwater
+sub-systems and the river routing — so split-vs-implicit agreement holds
+at splitting error on lake meshes (qhh).
 """
 
 from __future__ import annotations
@@ -32,10 +43,12 @@ from jax.ops import segment_sum
 from shud_tpu.config import EPSILON, ZERO
 from shud_tpu.core import physics as ph
 from shud_tpu.core.rhs import (
+    _lake_toparea,
     edge_fluxes,
     et_flux,
     flux_infiltration,
     flux_recharge,
+    lake_cell_update,
     update_element,
 )
 from shud_tpu.core.state import ForcingSlice
@@ -61,29 +74,52 @@ def _seg_sub(m, fs, gw, effkh, riv_stage):
     ) * fs.fu_sub[se]
 
 
-def rhs_surf(m, fs: ForcingSlice, t, sf, us0, gw0, riv0,
+def _cell_update_split(m, sf, us, gw):
+    """updateElement + the lake-cell overrides (rhs_full does the same)."""
+    cu = update_element(m, sf, us, gw)
+    if m.num_lake > 0:
+        cu = lake_cell_update(m, cu)
+    return cu
+
+
+def _frozen_lake(m, lake0, dtype):
+    if m.num_lake > 0 and lake0 is not None:
+        return jnp.maximum(lake0, 0.0)
+    return jnp.zeros((0,), dtype)
+
+
+def rhs_surf(m, fs: ForcingSlice, t, sf, us0, gw0, riv0, lake0=None,
              close_boundary=True):
-    """d(sf)/dt with us/gw/riv frozen (f_surf: f_loop1 + f_applyDYi(1))."""
+    """d(sf)/dt with us/gw/riv/lake frozen (f_surf: f_loop1 +
+    f_applyDYi(1))."""
     ne, nr = m.area.shape[0], m.riv_length.shape[0]
     sf = jnp.maximum(sf, 0.0)  # f_updatei clamps (MD_update.cpp:49-53)
-    cu = update_element(m, sf, us0, gw0)
+    cu = _cell_update_split(m, sf, us0, gw0)
     qi, qex = flux_infiltration(m, cu, sf, us0, gw0, fs.net_prcp)
     q_infil = qi * fs.fu_surf
     q_exfil = qex * fs.fu_surf
-    lake_stg = jnp.zeros((0,), sf.dtype)
+    lake_stg = _frozen_lake(m, lake0, sf.dtype)
+    if m.num_lake > 0:
+        is_lake = m.i_lake > 0
+        q_infil = jnp.where(is_lake, 0.0, q_infil)
+        q_exfil = jnp.where(is_lake, 0.0, q_exfil)
     q_esurf, _, _, _ = edge_fluxes(m, cu, sf, gw0, lake_stg, close_boundary)
+    if m.num_lake > 0:
+        q_esurf = jnp.where(is_lake[:, None], 0.0, q_esurf)
     q_seg = _seg_surface(m, fs, sf, q_infil, q_exfil, riv0)
     q_e2r = segment_sum(-q_seg, m.seg_ele, num_segments=ne)
     q_tot = q_e2r + q_esurf.sum(axis=1)
     dsf = fs.net_prcp - q_infil + q_exfil - q_tot / m.area
     dsf = dsf + jnp.where(m.i_ss > 0, fs.ele_qss / m.area, 0.0)
+    if m.num_lake > 0:
+        dsf = jnp.where(is_lake, 0.0, dsf)
     return dsf
 
 
 def rhs_unsat(m, fs: ForcingSlice, t, us, sf0, gw0, close_boundary=True):
     """d(us)/dt (f_unsat: f_loop2 + f_applyDYi(2))."""
     us = jnp.maximum(us, 0.0)
-    cu = update_element(m, sf0, us, gw0)
+    cu = _cell_update_split(m, sf0, us, gw0)
     es, eu, eg, tu, tg, _, _ = et_flux(m, fs, sf0, us, gw0, cu.satn)
     qi, qex = flux_infiltration(m, cu, sf0, us, gw0, fs.net_prcp)
     q_infil = qi * fs.fu_surf
@@ -92,20 +128,25 @@ def rhs_unsat(m, fs: ForcingSlice, t, us, sf0, gw0, close_boundary=True):
     trans = tu + tg
     dus = q_infil - q_rech - evapo
     dus = dus - jnp.where(gw0 > m.rootreach_level, 0.0, trans)
+    if m.num_lake > 0:
+        dus = jnp.where(m.i_lake > 0, 0.0, dus)
     return dus / m.sy
 
 
 def rhs_gw(m, fs: ForcingSlice, t, gw, sf0, us0, riv0, q_rech0, q_exfil0,
-           evapo0, trans0, close_boundary=True):
+           evapo0, trans0, lake0=None, close_boundary=True):
     """d(gw)/dt with frozen recharge/exfiltration (f_gw: f_loop3 +
     f_applyDY_gw)."""
     ne = m.area.shape[0]
     gw_c = jnp.maximum(gw, 0.0)
     gw_bc = jnp.where(m.i_bc > 0, fs.ele_ybc, gw_c)
-    cu = update_element(m, sf0, us0, gw_bc)
-    lake_stg = jnp.zeros((0,), gw.dtype)
+    cu = _cell_update_split(m, sf0, us0, gw_bc)
+    lake_stg = _frozen_lake(m, lake0, gw.dtype)
     _, q_esub, _, _ = edge_fluxes(m, cu, sf0, gw_bc, lake_stg, close_boundary)
     q_esub = q_esub * fs.fu_sub[:, None]
+    if m.num_lake > 0:
+        is_lake = m.i_lake > 0
+        q_esub = jnp.where(is_lake[:, None], 0.0, q_esub)
     q_seg = _seg_sub(m, fs, gw_bc, cu.eff_kh, riv0)
     q_e2r = segment_sum(-q_seg, m.seg_ele, num_segments=ne)
     q_tot = q_e2r + q_esub.sum(axis=1)
@@ -116,7 +157,51 @@ def rhs_gw(m, fs: ForcingSlice, t, gw, sf0, us0, riv0, q_rech0, q_exfil0,
     dgw = jnp.where(m.i_bc > 0, 0.0, dgw)
     dgw = dgw + jnp.where(m.i_bc < 0, fs.ele_qbc / m.area, 0.0)
     dgw = dgw + jnp.where(m.i_ss < 0, fs.ele_qss / m.area, 0.0)
+    if m.num_lake > 0:
+        dgw = jnp.where(is_lake, 0.0, dgw)
     return dgw / m.sy
+
+
+def rhs_lake(m, fs: ForcingSlice, t, lake_stg, sf0, us0, gw0, q_lake_rivin0,
+             close_boundary=True):
+    """d(lake stage)/dt with element/river states frozen (the real 5th
+    sub-solve; implicit-mode budget MD_f.cpp:180-191 — see module
+    docstring for the deviation from the reference's empty f_loop5)."""
+    nl = m.lake_zmin.shape[0]
+    lake_c = jnp.maximum(lake_stg, 0.0)
+    cu = _cell_update_split(m, sf0, us0, gw0)
+    is_lake = m.i_lake > 0
+    _, _, q_lake_surf_e, q_lake_sub_e = edge_fluxes(
+        m, cu, sf0, gw0, lake_c, close_boundary
+    )
+    # lake cells have no lateral fluxes (fun_Ele_lakeHorizon)
+    q_lake_surf_e = jnp.where(is_lake[:, None], 0.0, q_lake_surf_e)
+    q_lake_sub_e = jnp.where(is_lake[:, None], 0.0, q_lake_sub_e)
+    lk_e = jnp.where(m.lakenabr >= 0, m.lakenabr, 0)
+    q_lake_surf = segment_sum(
+        q_lake_surf_e.ravel(), lk_e.ravel(), num_segments=nl
+    )
+    q_lake_sub = segment_sum(
+        q_lake_sub_e.ravel(), lk_e.ravel(), num_segments=nl
+    )
+    lk_cell = jnp.where(is_lake, m.i_lake - 1, 0)
+    inv_nele = 1.0 / jnp.maximum(m.lake_num_ele.astype(lake_c.dtype), 1.0)
+    q_lake_evap = segment_sum(
+        jnp.where(is_lake, fs.pot_evap * inv_nele[lk_cell], 0.0),
+        lk_cell, num_segments=nl,
+    )
+    q_lake_prcp = segment_sum(
+        jnp.where(is_lake, fs.prcp * inv_nele[lk_cell], 0.0),
+        lk_cell, num_segments=nl,
+    )
+    # clamp (MD_f.cpp:44-47): min first, then max — NOT jnp.clip
+    q_lake_evap = jnp.maximum(
+        0.0, jnp.minimum(q_lake_evap, q_lake_prcp + lake_c)
+    )
+    lake_area = _lake_toparea(m, lake_c)
+    return q_lake_prcp - q_lake_evap + (
+        q_lake_rivin0 + q_lake_sub + q_lake_surf
+    ) / lake_area
 
 
 def rhs_river(m, fs: ForcingSlice, t, riv, q_riv_surf0, q_riv_sub0):
@@ -152,9 +237,14 @@ def rhs_river(m, fs: ForcingSlice, t, riv, q_riv_surf0, q_riv_sub0):
     from shud_tpu.config import GRAV
 
     q_out_crit = r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 1e-30)) * 60.0
+    # lake-bound reaches (down <= -4): zero-depth-gradient Manning into the
+    # lake (MD_RiverFlux.cpp:17-24), same precedence as rhs_full
     q_riv_down = jnp.where(
-        has_down, q_down_int,
-        jnp.where(m.riv_outlet_code == -4, q_out_crit, q_out_zdg),
+        m.riv_to_lake >= 0, q_out_zdg,
+        jnp.where(
+            has_down, q_down_int,
+            jnp.where(m.riv_outlet_code == -4, q_out_crit, q_out_zdg),
+        ),
     )
     q_riv_up = segment_sum(
         jnp.where(has_down, -q_riv_down, 0.0), dn, num_segments=nr
@@ -170,23 +260,27 @@ class UncoupledStates:
     unsat: object
     gw: object
     riv: object
+    lake: object = None  # None when the mesh has no lakes
 
 
 def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
                              t: float, tout: float, cfg: SolverConfig,
                              close_boundary=True):
-    """One Gauss-Seidel sweep: surf -> unsat -> gw -> river, each advanced
-    over [t, tout] by its own adaptive implicit solver instance."""
+    """One Gauss-Seidel sweep: surf -> unsat -> gw -> river -> lake, each
+    advanced over [t, tout] by its own adaptive implicit solver instance."""
     ne, nr = dm.area.shape[0], dm.riv_length.shape[0]
+    has_lake = dm.num_lake > 0 and states.lake is not None
 
     sf0 = jnp.maximum(states.surf.y, 0.0)
     us0 = jnp.maximum(states.unsat.y, 0.0)
     gw0 = jnp.maximum(states.gw.y, 0.0)
     riv0 = jnp.maximum(states.riv.y, 0.0)
+    lake0 = jnp.maximum(states.lake.y, 0.0) if has_lake else None
 
     # 1) surface
     def f1(tt, yy, p):
-        return rhs_surf(dm, fs, tt, yy, us0, gw0, riv0, close_boundary)
+        return rhs_surf(dm, fs, tt, yy, us0, gw0, riv0, lake0,
+                        close_boundary)
 
     st1 = solve_to(f1, states.surf, tout, None, cfg)
     sf1 = jnp.maximum(st1.y, 0.0)
@@ -199,24 +293,31 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
     us1 = jnp.maximum(st2.y, 0.0)
 
     # 3) groundwater: freeze recharge/exfil/ET at the staged states
-    cu = update_element(dm, sf1, us1, gw0)
+    cu = _cell_update_split(dm, sf1, us1, gw0)
     es, eu, eg, tu, tg, _, _ = et_flux(dm, fs, sf1, us1, gw0, cu.satn)
     qi, qex = flux_infiltration(dm, cu, sf1, us1, gw0, fs.net_prcp)
     q_rech0 = flux_recharge(dm, cu, us1, gw0) * fs.fu_sub
     q_exfil0 = qex * fs.fu_surf
+    if has_lake:
+        is_lake = dm.i_lake > 0
+        q_rech0 = jnp.where(is_lake, 0.0, q_rech0)
+        q_exfil0 = jnp.where(is_lake, 0.0, q_exfil0)
 
     def f3(tt, yy, p):
         return rhs_gw(dm, fs, tt, yy, sf1, us1, riv0, q_rech0, q_exfil0,
-                      es + eu + eg, tu + tg, close_boundary)
+                      es + eu + eg, tu + tg, lake0, close_boundary)
 
     st3 = solve_to(f3, states.gw, tout, None, cfg)
     gw1 = jnp.maximum(st3.y, 0.0)
 
     # 4) river: freeze exchange fluxes at staged states
-    cu1 = update_element(dm, sf1, us1, gw1)
+    cu1 = _cell_update_split(dm, sf1, us1, gw1)
     qi1, qex1 = flux_infiltration(dm, cu1, sf1, us1, gw1, fs.net_prcp)
-    q_seg_s = _seg_surface(dm, fs, sf1, qi1 * fs.fu_surf, qex1 * fs.fu_surf,
-                           riv0)
+    q_if1, q_ex1 = qi1 * fs.fu_surf, qex1 * fs.fu_surf
+    if has_lake:
+        q_if1 = jnp.where(is_lake, 0.0, q_if1)
+        q_ex1 = jnp.where(is_lake, 0.0, q_ex1)
+    q_seg_s = _seg_surface(dm, fs, sf1, q_if1, q_ex1, riv0)
     q_seg_b = _seg_sub(dm, fs, gw1, cu1.eff_kh, riv0)
     q_riv_surf0 = segment_sum(q_seg_s, dm.seg_riv, num_segments=nr)
     q_riv_sub0 = segment_sum(q_seg_b, dm.seg_riv, num_segments=nr)
@@ -226,25 +327,64 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
 
     st4 = solve_to(f4, states.riv, tout, None, cfg)
 
-    return UncoupledStates(surf=st1, unsat=st2, gw=st3, riv=st4)
+    # 5) lake: freeze element states and river inflow at staged values
+    st5 = states.lake
+    if has_lake:
+        nl = dm.lake_zmin.shape[0]
+        riv1 = jnp.maximum(st4.y, 0.0)
+        q_rd1 = _riv_down_frozen(dm, fs, riv1)
+        to_lake = dm.riv_to_lake >= 0
+        tl = jnp.where(to_lake, dm.riv_to_lake, 0)
+        q_lake_rivin0 = segment_sum(
+            jnp.where(to_lake, q_rd1, 0.0), tl, num_segments=nl
+        )
+
+        def f5(tt, yy, p):
+            return rhs_lake(dm, fs, tt, yy, sf1, us1, gw1, q_lake_rivin0,
+                            close_boundary)
+
+        st5 = solve_to(f5, states.lake, tout, None, cfg)
+
+    return UncoupledStates(surf=st1, unsat=st2, gw=st3, riv=st4, lake=st5)
+
+
+def _riv_down_frozen(m, fs, riv):
+    """Downstream discharge at a frozen river stage (the lake-inflow side
+    of Flux_RiverDown; only the to-lake entries are consumed)."""
+    riv_stage = jnp.where(m.riv_bc > 0, fs.riv_ybc, riv)
+    r_csa = jnp.maximum(
+        riv_stage * (m.riv_bottom_width + riv_stage * m.riv_bank_slope), 0.0
+    )
+    r_per = jnp.maximum(
+        2.0 * jnp.abs(riv_stage) * jnp.sqrt(1.0 + m.riv_bank_slope**2)
+        + m.riv_bottom_width, 0.0,
+    )
+    r_hyd = jnp.where(r_per <= ZERO, 0.0,
+                      r_csa / jnp.where(r_per <= ZERO, 1.0, r_per))
+    s_out = m.riv_bed_slope + riv_stage * 2.0 / m.riv_length
+    return ph.manning_equation(r_csa, m.riv_avg_rough, r_hyd, s_out)
 
 
 def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
-                   cfg: SolverConfig) -> UncoupledStates:
+                   cfg: SolverConfig, nl: int = 0) -> UncoupledStates:
     y0 = jnp.asarray(y0)
     return UncoupledStates(
         surf=bdf_init(t0, y0[:ne], cfg),
         unsat=bdf_init(t0, y0[ne : 2 * ne], cfg),
         gw=bdf_init(t0, y0[2 * ne : 3 * ne], cfg),
         riv=bdf_init(t0, y0[3 * ne : 3 * ne + nr], cfg),
+        lake=(bdf_init(t0, y0[3 * ne + nr : 3 * ne + nr + nl], cfg)
+              if nl > 0 else None),
     )
 
 
 def run_project_split(project: str, base: str = ".", end_day=None,
-                      verbose=True, outpath=None, calib=None):
+                      verbose=True, outpath=None, calib=None, **overrides):
     """Operator-split full run (the reference's ``-g`` driver loop,
-    shud.cpp:171-357): per window, a Gauss-Seidel sweep of the four
-    sub-solvers; daily state outputs."""
+    shud.cpp:171-357): per window, a Gauss-Seidel sweep of the five
+    sub-solvers; daily state outputs.  ``overrides`` are Control_Data
+    attribute overrides (e.g. ``solver_step=60.0``), as in the fast
+    driver."""
     import os
     import time
 
@@ -253,21 +393,24 @@ def run_project_split(project: str, base: str = ".", end_day=None,
     from shud_tpu.driver.simulate import Simulation
     from shud_tpu.io.output import PrintCtrl, TimeLog
 
-    sim = Simulation.create(project, base=base, calib=calib)
+    sim = Simulation.create(project, base=base, calib=calib, **overrides)
     if outpath:
         sim.inp.paths.outpath = outpath
     cs = sim.inp.control
     md, dm, fr = sim.md, sim.dm, sim.fr
-    ne, nr = md.num_ele, md.num_riv
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     paths = sim.inp.paths
     os.makedirs(paths.outpath, exist_ok=True)
     t_end = cs.end_time if end_day is None else end_day * 1440.0
 
     states = init_uncoupled(np.asarray(sim.bdf.y), ne, nr, cs.start_time,
-                            sim.cfg)
+                            sim.cfg, nl=nl)
+    chan_spec = [("eleysurf", ne), ("eleyunsat", ne), ("eleygw", ne),
+                 ("rivystage", nr)]
+    if nl > 0:
+        chan_spec.append(("lakystage", nl))
     chans = {}
-    for name, n in [("eleysurf", ne), ("eleyunsat", ne), ("eleygw", ne),
-                    ("rivystage", nr)]:
+    for name, n in chan_spec:
         chans[name] = PrintCtrl(
             os.path.join(paths.outpath, f"{paths.project}.{name}"),
             sim.inp.forc.start_yyyymmdd, 1440, False, n,
@@ -282,12 +425,22 @@ def run_project_split(project: str, base: str = ".", end_day=None,
         fs, cf = sim.forcing_slice(tout)
         states = advance_window_uncoupled(dm, fs, states, t, tout, sim.cfg)
         t = tout
+        # one batched device fetch per window (tunnel-latency-bound on
+        # axon; same fix as the production driver's batched fetches)
+        fetch = [states.surf.y, states.unsat.y, states.gw.y, states.riv.y]
+        if nl > 0:
+            fetch.append(states.lake.y)
+        import jax
+
+        host = jax.device_get(tuple(fetch))
         vals = {
-            "eleysurf": np.asarray(states.surf.y),
-            "eleyunsat": np.asarray(states.unsat.y),
-            "eleygw": np.asarray(states.gw.y),
-            "rivystage": np.asarray(states.riv.y),
+            "eleysurf": host[0],
+            "eleyunsat": host[1],
+            "eleygw": host[2],
+            "rivystage": host[3],
         }
+        if nl > 0:
+            vals["lakystage"] = host[4]
         for name, pc in chans.items():
             pc.push(t, vals[name])
         if verbose and abs(t % 1440.0) < 1e-6:

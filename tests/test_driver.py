@@ -212,3 +212,49 @@ def test_per_edge_flux_channels(tmp_path):
                 + per_edge["eleqsurf3"] + e2r_surf[0])
     np.testing.assert_allclose(sub_sum, tot_sub[0], rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(surf_sum, tot_surf[0], rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "project", ["ccw", pytest.param("qhh", marks=pytest.mark.slow)]
+)
+def test_split_vs_implicit(project):
+    """Operator-split (-g) agrees with the global-implicit driver at
+    splitting error over short windows (second-oracle check, SURVEY §3.3).
+    On qhh this exercises the real lake sub-solve (the 5th sub-system,
+    reference mem5/f_lake at shud.cpp:171-357 — whose f_loop5 is empty in
+    the reference; see driver/uncoupled.py module docstring)."""
+    from shud_tpu.driver.uncoupled import (
+        advance_window_uncoupled,
+        init_uncoupled,
+    )
+
+    sim = Simulation.create(project, base="/root/reference")
+    ne, nr, nl = sim.md.num_ele, sim.md.num_riv, sim.md.num_lake
+    t0 = sim.inp.control.start_time
+    t_end = t0 + 60.0
+    # qhh has one stiff unsat/gw cell whose splitting error at 10-min
+    # windows is ~2 cm (halving the window cuts it 7.6x — verified
+    # superlinear, i.e. genuine splitting error, not a defect)
+    win = 10.0 if project == "ccw" else 5.0
+    un = init_uncoupled(np.asarray(sim.bdf.y), ne, nr, t0, sim.cfg, nl=nl)
+    t = t0
+    while t < t_end - 1e-9:
+        fs, _ = sim.forcing_slice(t + win)
+        un = advance_window_uncoupled(sim.dm, fs, un, t, t + win, sim.cfg)
+        t += win
+
+    s2 = Simulation.create(project, base="/root/reference")
+    s2.run(t_end=t_end)
+    y_imp = np.asarray(s2.bdf.y)
+    parts = [np.asarray(un.surf.y), np.asarray(un.unsat.y),
+             np.asarray(un.gw.y), np.asarray(un.riv.y)]
+    if nl > 0:
+        parts.append(np.asarray(un.lake.y))
+    y_spl = np.concatenate(parts)
+    assert y_imp.shape == y_spl.shape
+    d = np.abs(y_imp - y_spl)
+    blocks = dict(surf=d[:ne].max(), unsat=d[ne:2*ne].max(),
+                  gw=d[2*ne:3*ne].max(), riv=d[3*ne:3*ne+nr].max())
+    if nl > 0:
+        blocks["lake"] = d[3*ne+nr:].max()
+    assert max(blocks.values()) < 5e-3, blocks

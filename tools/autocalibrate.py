@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--params", default="geol_ksath,soil_kinf,lc_rough",
                     help="comma-separated calibration keys to optimise")
     ap.add_argument("--sigma0", type=float, default=0.3)
+    ap.add_argument("--log", action="store_true",
+                    help="search multiplicative keys in log10 space with "
+                         "wide bounds (10^[-2.5, 2.5]); `*_add` keys stay "
+                         "linear.  Conductivity multipliers span orders of "
+                         "magnitude — log search reaches them.")
+    ap.add_argument("--x0", default=None,
+                    help="comma-separated initial vector (same order as "
+                         "--params) to seed from a previous round")
     ap.add_argument("--warmup", type=float, default=0.0,
                     help="spin-up days excluded from the NSE score "
                          "(simulated but not fitted)")
@@ -85,7 +93,18 @@ def main():
     n_eval = [0]
     fr_cache = [None]  # forcing/TSR tables reused across candidates
 
-    def objective(x):
+    # multiplicative scalars (conductivities etc. span orders of magnitude)
+    # are searched in log10 space; additive keys (`*_add`) stay linear
+    log_mask = np.array([not n.endswith("_add") for n in names])
+
+    def decode(z):
+        x = np.asarray(z, dtype=float).copy()
+        if args.log:
+            x[log_mask] = 10.0 ** x[log_mask]
+        return x
+
+    def objective(z):
+        x = decode(z)
         gc = calib_from_vector(names, x, base=base_calib)
         sim = run_with_calib(args.project, args.base, gc, ndays,
                              float_dtype=fd, inp=inp0, fr=fr_cache[0])
@@ -107,13 +126,25 @@ def main():
         return -score
 
     x0 = np.array([getattr(base_calib, n) for n in names], dtype=float)
-    lo = np.full(len(names), 0.05)
-    hi = np.full(len(names), 20.0)
+    if args.x0:
+        x0 = np.array([float(s) for s in args.x0.split(",")], dtype=float)
+        assert x0.shape[0] == len(names)
+    if args.log:
+        z0 = x0.copy()
+        z0[log_mask] = np.log10(np.maximum(x0[log_mask], 1e-6))
+        # multiplicative: 10^[-2.5, 2.5]; additive: linear [-5, 5]
+        lo = np.where(log_mask, -2.5, -5.0)
+        hi = np.where(log_mask, 2.5, 5.0)
+    else:
+        z0 = x0
+        lo = np.full(len(names), 0.05)
+        hi = np.full(len(names), 20.0)
     t0 = time.time()
-    x_best, f_best, hist = cma_es(
-        objective, x0, sigma0=args.sigma0, bounds=(lo, hi),
+    z_best, f_best, hist = cma_es(
+        objective, z0, sigma0=args.sigma0, bounds=(lo, hi),
         popsize=args.popsize, max_gen=args.gens, seed=1, verbose=True,
     )
+    x_best = decode(z_best)
     print(f"\nbest NSE {-f_best:.4f} after {n_eval[0]} runs "
           f"({time.time()-t0:.0f}s):")
     for n, v in zip(names, x_best):

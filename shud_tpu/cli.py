@@ -54,7 +54,7 @@ def main(argv=None):
                    help="disable the fused Pallas edge kernel")
     p.add_argument("--mega", dest="mega", action="store_true", default=None,
                    help="force the whole-RHS Pallas megakernel solve path "
-                        "(f32, lake-free VMEM-resident meshes)")
+                        "(f32, VMEM-resident meshes; lakes supported)")
     p.add_argument("--no-mega", dest="mega", action="store_false",
                    help="disable the whole-RHS Pallas megakernel")
     p.add_argument("--resume", default=None, metavar="CKPT",

@@ -83,7 +83,14 @@ def _cell_update_split(m, sf, us, gw):
 
 
 def _frozen_lake(m, lake0, dtype):
-    if m.num_lake > 0 and lake0 is not None:
+    if m.num_lake > 0:
+        if lake0 is None:
+            # fail loudly: a forgotten lake0 on a lake mesh would silently
+            # drop all lake-bank fluxes (wrong physics, not an error)
+            raise ValueError(
+                "mesh has lakes but lake0 is None — pass the frozen lake "
+                "stage to the sub-RHS (advance_window_uncoupled does)"
+            )
         return jnp.maximum(lake0, 0.0)
     return jnp.zeros((0,), dtype)
 
@@ -169,10 +176,13 @@ def rhs_lake(m, fs: ForcingSlice, t, lake_stg, sf0, us0, gw0, q_lake_rivin0,
     docstring for the deviation from the reference's empty f_loop5)."""
     nl = m.lake_zmin.shape[0]
     lake_c = jnp.maximum(lake_stg, 0.0)
-    cu = _cell_update_split(m, sf0, us0, gw0)
+    # Dirichlet-BC elements contribute lake-bank fluxes at the prescribed
+    # head, as rhs_full/rhs_gw do before edge_fluxes (MD_update.cpp BC scatter)
+    gw_bc = jnp.where(m.i_bc > 0, fs.ele_ybc, gw0)
+    cu = _cell_update_split(m, sf0, us0, gw_bc)
     is_lake = m.i_lake > 0
     _, _, q_lake_surf_e, q_lake_sub_e = edge_fluxes(
-        m, cu, sf0, gw0, lake_c, close_boundary
+        m, cu, sf0, gw_bc, lake_c, close_boundary
     )
     # lake cells have no lateral fluxes (fun_Ele_lakeHorizon)
     q_lake_surf_e = jnp.where(is_lake[:, None], 0.0, q_lake_surf_e)

@@ -141,6 +141,95 @@ def test_era5_accumulated_decode(tmp_path):
     assert abs(d[0, 2] - round(ea / es, 4)) < 1e-9
 
 
+def test_gldas_roundtrip(tmp_path):
+    """GLDAS per-timestep file layout (NetcdfForcingProvider.cpp GLDAS
+    branches): one file per 3-hour step, kg/m2/s precip -> mm/day, RH
+    from specific humidity with the CMFD formula (cpp:1500,2344)."""
+    rng = np.random.default_rng(2)
+    nlat, nlon = 3, 4
+    nsteps = 8  # one simulated day at 3-hourly steps
+    fields = {}
+    for step in range(nsteps):
+        fields[step] = {
+            "Rainf_f_tavg": (rng.uniform(0, 2e-4, (1, nlat, nlon)),
+                             "kg m-2 s-1"),
+            "Tair_f_inst": (rng.uniform(260, 290, (1, nlat, nlon)), "K"),
+            "Qair_f_inst": (rng.uniform(0.001, 0.01, (1, nlat, nlon)),
+                            "kg kg-1"),
+            "SWdown_f_tavg": (rng.uniform(0, 900, (1, nlat, nlon)),
+                              "W m-2"),
+            "Wind_f_inst": (rng.uniform(0, 9, (1, nlat, nlon)), "m s-1"),
+            "Psurf_f_inst": (rng.uniform(8e4, 1e5, (1, nlat, nlon)), "Pa"),
+        }
+    import h5py
+
+    (tmp_path / "2000" / "001").mkdir(parents=True)
+    for step in range(nsteps):
+        hhmm = f"{step * 3:02d}00"
+        path = (tmp_path / "2000" / "001"
+                / f"GLDAS_NOAH025_3H.A20000101.{hhmm}.021.nc4")
+        with h5py.File(path, "w") as f:
+            t = f.create_dataset("time", data=np.array([step * 3.0]))
+            t.attrs["units"] = "hours since 2000-01-01 00:00"
+            t.make_scale("time")
+            la = f.create_dataset("lat", data=np.linspace(39.0, 40.0, nlat))
+            la.make_scale("lat")
+            lo = f.create_dataset("lon",
+                                  data=np.linspace(-123.0, -122.0, nlon))
+            lo.make_scale("lon")
+            for name, (data, units) in fields[step].items():
+                v = f.create_dataset(name, data=data)
+                v.attrs["units"] = units
+                v.dims[0].attach_scale(t)
+                v.dims[1].attach_scale(la)
+                v.dims[2].attach_scale(lo)
+    cfg = tmp_path / "input" / "prj" / "forcing.cfg"
+    cfg.parent.mkdir(parents=True)
+    cfg.write_text(
+        "PRODUCT GLDAS\n"
+        f"DATA_ROOT {tmp_path}\n"
+        "LAYOUT_FILE_PATTERN "
+        "{year}/{doy}/GLDAS_NOAH025_3H.A{yyyymmdd}.{hhmm}.021.nc4\n"
+        "NC_VAR_PREC Rainf_f_tavg\nNC_VAR_TEMP Tair_f_inst\n"
+        "NC_VAR_SHUM Qair_f_inst\nNC_VAR_SRAD SWdown_f_tavg\n"
+        "NC_VAR_WIND Wind_f_inst\nNC_VAR_PRES Psurf_f_inst\n"
+    )
+    stations = np.array([[-122.4, 39.4, 100.0],
+                         [-122.9, 39.9, 450.0]])
+    fc = load_netcdf_forcing(str(cfg), stations, 20000101, 0.0, 1440.0)
+    assert fc.num_stations == 2
+    # 3-hourly step-function time axis in minutes
+    np.testing.assert_allclose(fc.t_min[0], np.arange(nsteps) * 180.0)
+    lat = np.linspace(39.0, 40.0, nlat)
+    lon = np.linspace(-123.0, -122.0, nlon)
+    for s, (slon, slat, _z) in enumerate(stations):
+        ilat = np.argmin(np.abs(lat - slat))
+        ilon = np.argmin(np.abs(lon - slon))
+        prec = np.array([fields[k]["Rainf_f_tavg"][0][0, ilat, ilon]
+                         for k in range(nsteps)])
+        temp = np.array([fields[k]["Tair_f_inst"][0][0, ilat, ilon]
+                         for k in range(nsteps)])
+        shum = np.array([fields[k]["Qair_f_inst"][0][0, ilat, ilon]
+                         for k in range(nsteps)])
+        pres = np.array([fields[k]["Psurf_f_inst"][0][0, ilat, ilon]
+                         for k in range(nsteps)])
+        wind = np.array([fields[k]["Wind_f_inst"][0][0, ilat, ilon]
+                         for k in range(nsteps)])
+        # kg/m2/s * 86400 -> mm/day, with AutoSHUD quantisation
+        exp_prcp = np.round(prec * 86400.0, 4)
+        exp_prcp[exp_prcp < 1e-4] = 0.0
+        np.testing.assert_allclose(fc.data[s][:, 0], exp_prcp)
+        np.testing.assert_allclose(fc.data[s][:, 1],
+                                   np.round(temp - 273.15, 2))
+        rh = 0.263 * pres * shum / np.exp(
+            17.67 * (temp - 273.15) / (temp - 29.65)
+        )
+        rh = np.round(np.clip(rh, 0, 100) / 100.0, 4)
+        np.testing.assert_allclose(fc.data[s][:, 2], rh)
+        np.testing.assert_allclose(fc.data[s][:, 3],
+                                   np.maximum(np.round(wind, 2), 0.05))
+
+
 def test_ugrid_output(tmp_path, ccw):
     inp, md, _ = ccw
     from shud_tpu.io.ncoutput import UgridSink

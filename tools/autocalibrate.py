@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--x0", default=None,
                     help="comma-separated initial vector (same order as "
                          "--params) to seed from a previous round")
+    ap.add_argument("--chunk-days", type=int, default=30,
+                    help="days advanced per device dispatch (one fetch "
+                         "per chunk; daily discharge from the per-window "
+                         "qdowns trajectory)")
     ap.add_argument("--warmup", type=float, default=0.0,
                     help="spin-up days excluded from the NSE score "
                          "(simulated but not fitted)")
@@ -60,7 +64,7 @@ def main():
     import jax.numpy as jnp
 
     from shud_tpu.analysis import ts2daily
-    from shud_tpu.io.project import load_project
+    from shud_tpu.io.project import _CALIB_KEYS, load_project
     from shud_tpu.utils.calibrate import (
         calib_from_vector,
         cma_es,
@@ -69,6 +73,10 @@ def main():
     )
 
     names = [s.strip() for s in args.params.split(",") if s.strip()]
+    from shud_tpu.io.project import _CALIB_KEYS as _CK
+    bad = [n for n in names if n.lower() not in _CK]
+    if bad:
+        ap.error(f"unknown calibration key(s): {', '.join(bad)}")
     fd = jnp.float32 if args.f32 else jnp.float64
 
     inp0 = load_project(args.project, base=args.base)
@@ -94,8 +102,10 @@ def main():
     fr_cache = [None]  # forcing/TSR tables reused across candidates
 
     # multiplicative scalars (conductivities etc. span orders of magnitude)
-    # are searched in log10 space; additive keys (`*_add`) stay linear
-    log_mask = np.array([not n.endswith("_add") for n in names])
+    # are searched in log10 space; additive keys (reference naming `*+`,
+    # attribute naming `*_add`) stay linear
+    log_mask = np.array([not (n.endswith("_add") or n.endswith("+"))
+                         for n in names])
 
     def decode(z):
         x = np.asarray(z, dtype=float).copy()
@@ -112,11 +122,21 @@ def main():
         md = sim.md
         outlet = np.flatnonzero((np.asarray(md.riv_down) < 0)
                                 & (np.asarray(md.riv_to_lake) < 0))
+        # advance in multi-day chunks: run_interval's per-window qdowns
+        # trajectory gives window-end outlet discharge, so daily means
+        # need only ONE device fetch per chunk (the per-day fetch loop was
+        # tunnel-latency-bound: ~0.4 s/day of the 0.5 s/day eval cost)
+        chunk = int(args.chunk_days)
+        wpd = int(round(1440.0 / sim.inp.control.solver_step))
         qd = np.zeros(ndays)
-        for d in range(ndays):
-            _, mean_r, _, _ = sim.advance_interval(1440.0)
-            qd[d] = float(np.asarray(mean_r["q_riv_down"])[outlet].sum())
-        sim_daily = np.abs(qd) * 1440.0  # m3/min window-mean -> m3/day
+        d0 = 0
+        while d0 < ndays:
+            nd = min(chunk, ndays - d0)
+            _, _, _, qdowns = sim.advance_interval(nd * 1440.0)
+            qn = np.asarray(qdowns)[:, outlet].sum(axis=1)
+            qd[d0 : d0 + nd] = np.abs(qn).reshape(nd, wpd).mean(axis=1)
+            d0 += nd
+        sim_daily = qd * 1440.0  # m3/min window samples -> m3/day
         w0 = int(args.warmup)
         score = nse(sim_daily[w0:], obs_daily[w0:])
         n_eval[0] += 1
@@ -125,10 +145,17 @@ def main():
               f"  NSE={score:.4f}", flush=True)
         return -score
 
-    x0 = np.array([getattr(base_calib, n) for n in names], dtype=float)
+    x0 = np.array([getattr(base_calib, _CALIB_KEYS[n.lower()])
+                   for n in names], dtype=float)
     if args.x0:
         x0 = np.array([float(s) for s in args.x0.split(",")], dtype=float)
-        assert x0.shape[0] == len(names)
+        if x0.shape[0] != len(names):
+            ap.error(f"--x0 has {x0.shape[0]} values but --params names "
+                     f"{len(names)} keys")
+        if not args.log and (np.any(x0 < 0.05) or np.any(x0 > 20.0)):
+            print("warning: --x0 outside the linear search bounds "
+                  "[0.05, 20]; values will be clipped by CMA-ES "
+                  "(use --log for wide-range search)", flush=True)
     if args.log:
         z0 = x0.copy()
         z0[log_mask] = np.log10(np.maximum(x0[log_mask], 1e-6))

@@ -93,7 +93,11 @@ def main():
 
     # --- operator-split cross-check ---
     s3 = Simulation.create("ccw", base="/root/reference")
-    un = init_uncoupled(np.asarray(s3.bdf.y), ne, nr, 0.0, s3.cfg)
+    # this tool is hard-wired to ccw (lake-free); assert rather than
+    # silently dropping the lake block of the state vector
+    assert s3.md.num_lake == 0, "verify_trajectory assumes a lake-free mesh"
+    un = init_uncoupled(np.asarray(s3.bdf.y), ne, nr, 0.0, s3.cfg,
+                        nl=s3.md.num_lake)
     t = 0.0
     nwin = min(int(t_end / 10.0), 36)
     for k in range(nwin):

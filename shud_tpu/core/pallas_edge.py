@@ -107,19 +107,36 @@ def graph_bandwidth(nabr: np.ndarray) -> int:
     return int(d[has].max())
 
 
-def build_edge_blocks(md, min_blk: int = 512,
-                      max_blk: int = 8192) -> "EdgeBlocks | None":
-    """Blocked static tables for the Pallas edge kernel, or None when the
-    mesh's numbering bandwidth exceeds *max_blk* (caller falls back to the
-    XLA gather path; reorder with ``locality_order`` first for large
-    unstructured meshes)."""
-    ne = md.num_ele
-    nabr = np.asarray(md.nabr)
-    band = graph_bandwidth(nabr)
+def build_edge_blocks_arrays(
+    ne: int,
+    nabr: np.ndarray,       # [Ne,3] 0-based kernel-visible adjacency; -1 =
+                            # not gathered by the kernel (boundary/remote/lake)
+    m_int: np.ndarray,      # [Ne,3] bool: evaluate the interior law
+    m_bnd: np.ndarray,      # [Ne,3] bool: evaluate the open-boundary law
+    edge_len: np.ndarray, dist2nabor: np.ndarray, avg_rough: np.ndarray,
+    dz_surf: np.ndarray, dz_bottom: np.ndarray, dist2edge: np.ndarray,
+    depression: np.ndarray, rough: np.ndarray,
+    min_blk: int = 512, max_blk: int = 8192,
+    force_blk: "int | None" = None,
+) -> "EdgeBlocks | None":
+    """Array-level core of :func:`build_edge_blocks`.
+
+    Callers supply the adjacency the kernel should gather through (interior
+    edges only) plus the interior/boundary law masks; edges with both masks
+    False (lake banks, cross-shard halo edges, padding) come out as 0 and
+    are merged by the caller.  ``force_blk`` pins the block size so several
+    shards of one partition share a single kernel shape."""
+    nabr = np.asarray(nabr)
+    gathered = np.asarray(m_int, bool)
+    band = graph_bandwidth(np.where(gathered, nabr, -1))
     # Mosaic requires the (sublane, lane) dims of every block to be
     # (multiple of 8, 128) -> cell blocks are multiples of 8*128 = 1024
     blk = max(int(min_blk), band, 1024)
     blk = ((blk + 1023) // 1024) * 1024
+    if force_blk is not None:
+        if force_blk < blk:
+            return None
+        blk = int(force_blk)
     if blk > max_blk:
         return None
     nb = max(1, -(-ne // blk))
@@ -146,38 +163,51 @@ def build_edge_blocks(md, min_blk: int = 512,
     def blk_cell(a):
         return np.ascontiguousarray(a.reshape(nb, bc, 128))
 
-    has_nabr = nabr >= 0
-    lakenb = np.asarray(md.lakenabr)
-    has_lake = lakenb >= 0
-
     # window-local neighbour index: window of block b holds positions
     # [0,blk)=prev block, [blk,2blk)=self, [2blk,3blk)=next, so the window
     # origin is cell (b-1)*blk — deliberately NOT clamped at b=0: the prev
     # ref then holds a duplicate of block 0 that no index points into
     cell_block = np.arange(ne) // blk
     win_start = (cell_block - 1) * blk
-    q = np.where(has_nabr, nabr - win_start[:, None], 0)
-    bad = has_nabr & ((q < 0) | (q >= 3 * blk))
+    q = np.where(gathered, nabr - win_start[:, None], 0)
+    bad = gathered & ((q < 0) | (q >= 3 * blk))
     if bad.any():
         return None  # numbering not banded enough for this blk
     nbq = pad_edge(q, 0, np.int32)
 
-    m_int = pad_edge((has_nabr & ~has_lake).astype(np.int32), 0, np.int32)
-    m_bnd = pad_edge((~has_nabr & ~has_lake).astype(np.int32), 0, np.int32)
-
     return EdgeBlocks(
         blk=blk, nb=nb, bc=bc, num_ele=ne,
         nbq=blk_edge(nbq),
-        edge=blk_edge(pad_edge(md.edge)),
-        dist=blk_edge(pad_edge(np.where(has_nabr, md.dist2nabor, 1.0))),
-        rough_avg=blk_edge(pad_edge(np.maximum(md.avg_rough, 1e-20))),
-        dzs=blk_edge(pad_edge(md.edge_dz_surf)),
-        dzb=blk_edge(pad_edge(md.edge_dz_bottom)),
-        m_int=blk_edge(m_int),
-        m_bnd=blk_edge(m_bnd),
-        dist2edge=blk_edge(pad_edge(np.maximum(md.dist2edge, 1e-20))),
-        dep=blk_cell(pad_cell(md.depression)),
-        rough_cell=blk_cell(pad_cell(np.maximum(md.rough, 1e-20))),
+        edge=blk_edge(pad_edge(edge_len)),
+        dist=blk_edge(pad_edge(np.where(gathered, dist2nabor, 1.0))),
+        rough_avg=blk_edge(pad_edge(np.maximum(avg_rough, 1e-20))),
+        dzs=blk_edge(pad_edge(dz_surf)),
+        dzb=blk_edge(pad_edge(dz_bottom)),
+        m_int=blk_edge(pad_edge(np.asarray(m_int, np.int32), 0, np.int32)),
+        m_bnd=blk_edge(pad_edge(np.asarray(m_bnd, np.int32), 0, np.int32)),
+        dist2edge=blk_edge(pad_edge(np.maximum(dist2edge, 1e-20))),
+        dep=blk_cell(pad_cell(depression)),
+        rough_cell=blk_cell(pad_cell(np.maximum(rough, 1e-20))),
+    )
+
+
+def build_edge_blocks(md, min_blk: int = 512,
+                      max_blk: int = 8192) -> "EdgeBlocks | None":
+    """Blocked static tables for the Pallas edge kernel, or None when the
+    mesh's numbering bandwidth exceeds *max_blk* (caller falls back to the
+    XLA gather path; reorder with ``locality_order`` first for large
+    unstructured meshes)."""
+    nabr = np.asarray(md.nabr)
+    has_nabr = nabr >= 0
+    has_lake = np.asarray(md.lakenabr) >= 0
+    return build_edge_blocks_arrays(
+        md.num_ele, nabr,
+        m_int=has_nabr & ~has_lake,
+        m_bnd=~has_nabr & ~has_lake,
+        edge_len=md.edge, dist2nabor=md.dist2nabor, avg_rough=md.avg_rough,
+        dz_surf=md.edge_dz_surf, dz_bottom=md.edge_dz_bottom,
+        dist2edge=md.dist2edge, depression=md.depression, rough=md.rough,
+        min_blk=min_blk, max_blk=max_blk,
     )
 
 

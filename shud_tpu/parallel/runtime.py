@@ -103,14 +103,19 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
 
 # make_sharded_rhs returns a fresh closure each call; reuse it per ShardedMesh
 # so solve_to's jit cache hits across windows (stable function identity).
-_RHS_CACHE: dict[int, tuple] = {}
+_RHS_CACHE: dict[tuple, tuple] = {}
 
 
-def _cached_sharded_rhs(sm: ShardedMesh):
-    key = id(sm)
+def _cached_sharded_rhs(sm: ShardedMesh, float_dtype=None,
+                        use_pallas: bool = False):
+    key = (id(sm), str(float_dtype), use_pallas)
     if key not in _RHS_CACHE:
         _RHS_CACHE.clear()  # keep at most one mesh alive (avoid id reuse bugs)
-        _RHS_CACHE[key] = (sm, make_sharded_rhs(sm))
+        _RHS_CACHE[key] = (
+            sm,
+            make_sharded_rhs(sm, float_dtype=float_dtype,
+                             use_pallas=use_pallas),
+        )
     return _RHS_CACHE[key][1]
 
 
@@ -158,7 +163,8 @@ class ShardedSimulation:
     parallelism is OpenMP threads (SURVEY §2.4/§5.7)."""
 
     def __init__(self, inp: ProjectInput, md: MeshData, p: int,
-                 cfg: SolverConfig | None = None):
+                 cfg: SolverConfig | None = None, float_dtype=None,
+                 use_pallas: bool = False, shard_order: str | None = None):
         import jax.numpy as jnp
 
         from shud_tpu.driver.init import initial_buckets, initial_state
@@ -166,13 +172,17 @@ class ShardedSimulation:
 
         self.inp = inp
         self.md = md
-        self.sm = build_sharded_mesh(md, p)
+        if shard_order is None:
+            shard_order = "rcm" if use_pallas else "keep"
+        self.fd = float_dtype or jnp.float64
+        self.sm = build_sharded_mesh(md, p, shard_order=shard_order)
         self.fr = build_forcing(inp, md)
         self.dm = to_device(md)
         cs = inp.control
         self.cfg = cfg or SolverConfig(rtol=cs.reltol, atol=cs.abstol,
                                        h_init=cs.init_step, h_max=cs.max_step)
-        self.mesh, self.rhs_fn, params = _cached_sharded_rhs(self.sm)
+        self.mesh, self.rhs_fn, params = _cached_sharded_rhs(
+            self.sm, float_dtype=float_dtype, use_pallas=use_pallas)
         self.cell_sh = NamedSharding(self.mesh, P(AXIS))
         self.rep_sh = NamedSharding(self.mesh, P())
         self.params_dev = place_params(self.mesh, params)
@@ -191,12 +201,18 @@ class ShardedSimulation:
     def _put_cell(self, v):
         import jax.numpy as jnp
 
-        return jax.device_put(jnp.asarray(v), self.cell_sh)
+        v = jnp.asarray(v)
+        if v.dtype.kind == "f":
+            v = v.astype(self.fd)
+        return jax.device_put(v, self.cell_sh)
 
     def _put_rep(self, v):
         import jax.numpy as jnp
 
-        return jax.device_put(jnp.asarray(v), self.rep_sh)
+        v = jnp.asarray(v)
+        if v.dtype.kind == "f":
+            v = v.astype(self.fd)
+        return jax.device_put(v, self.rep_sh)
 
     def advance_window(self, tout: float):
         """Advance the sharded solver to ``tout``; returns nothing (state

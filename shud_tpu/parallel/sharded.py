@@ -116,9 +116,105 @@ def _halo_reverse(plan: ExchangePlan, halo, partials, nr_local):
     return acc
 
 
+def _edge_stencil_pallas(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
+                         lake_stg, nl, close_boundary):
+    """Per-shard lateral edge stencil, kernel-composed (f32):
+
+    * local-interior + open-boundary edges: the fused banded-window Pallas
+      kernel on this shard's block (core/pallas_edge.py — the per-shard
+      counterpart of the reference loop MD_ElementFlux.cpp:35-156);
+    * cross-shard edges: the same flux law on the compact halo list
+      (O(edge-cut)), neighbour values from the ppermute ghost buffer;
+    * lake banks: weir/Darcy on the compact lake list, mask-merged with the
+      reference's branch priority (lake > neighbour > boundary).
+
+    Returns (q_esurf [Np,3], q_esub0 [Np,3], per-lake surf/sub partial
+    sums [Nl] — pre-psum)."""
+    from shud_tpu.core.pallas_edge import (
+        _flux_sub_int,
+        _flux_surface_int,
+        edge_fluxes_pallas,
+    )
+
+    eb, interpret = pk
+    np_cells = sf.shape[0]
+    q_surf_k, q_sub_k = edge_fluxes_pallas(
+        eb, sf, gw, effkh, close_boundary=close_boundary,
+        interpret=interpret,
+    )
+    f32 = jnp.float32
+    sf32, gw32, kh32 = (jnp.asarray(sf, f32), jnp.asarray(gw, f32),
+                        jnp.asarray(effkh, f32))
+    rc, rs, rv = halo["rmt_cell"], halo["rmt_slot"], halo["rmt_valid"]
+    gq = halo["rmt_gpos"]
+    isf_r = jnp.maximum(sf32[rc], 0.0)
+    nsf_r = jnp.maximum(ghost_c[gq, 0], 0.0)
+    q_s_r, _ = _flux_surface_int(
+        isf_r, nsf_r, halo["rmt_dzs"], halo["rmt_dist"], halo["rmt_B"],
+        halo["rmt_ravg"], halo["rmt_dep"],
+    )
+    q_b_r, _ = _flux_sub_int(
+        gw32[rc], ghost_c[gq, 1], kh32[rc], ghost_c[gq, 2],
+        halo["rmt_dzb"], halo["rmt_dist"], halo["rmt_B"],
+    )
+    rflat = rc * 3 + rs
+    q_esurf = q_surf_k.reshape(-1).at[rflat].add(
+        jnp.where(rv, q_s_r, 0.0)).reshape(np_cells, 3)
+    q_esub0 = q_sub_k.reshape(-1).at[rflat].add(
+        jnp.where(rv, q_b_r, 0.0)).reshape(np_cells, 3)
+    if nl == 0:
+        z = jnp.zeros((0,), q_esurf.dtype)
+        return q_esurf, q_esub0, z, z
+
+    lc, ls, lv = halo["lke_cell"], halo["lke_slot"], halo["lke_valid"]
+    lid = halo["lke_lake"]
+    lstg_raw = jnp.asarray(lake_stg, f32)[lid]
+    lstg = jnp.maximum(lstg_raw, 0.0)
+    isf_l = jnp.maximum(sf32[lc], 0.0)
+    q_s_l = ph.weir_flow_jtoi_local(
+        lstg + halo["lke_dzl"], isf_l, lstg, 0.6, halo["lke_B"], 0.01,
+    )
+    khnb = jnp.where(
+        halo["lke_nb_remote"], ghost_c[halo["lke_nb_gpos"], 2],
+        kh32[halo["lke_nb_local"]],
+    )
+    gw_l = gw32[lc]
+    dh_lk = (gw_l - lstg_raw) + halo["lke_dzb"]
+    ymean_lk = ph.avg_y_gw(gw_l, lstg_raw)
+    kmean_lk = 0.5 * (kh32[lc] + khnb)
+    q_b_l = kmean_lk * (dh_lk / halo["lke_dist"]) * ymean_lk * halo["lke_B"]
+    q_b_l = jnp.where(
+        ((dh_lk > 0.0) & (gw_l <= 0.02))
+        | ((dh_lk < 0.0) & (lstg_raw <= 0.02)),
+        0.0, q_b_l,
+    )
+    q_s_l = jnp.where(lv, q_s_l, 0.0)
+    q_b_l = jnp.where(lv, q_b_l, 0.0)
+    lflat = lc * 3 + ls
+    lake_surf_d = jnp.zeros(np_cells * 3, f32).at[lflat].add(q_s_l)
+    lake_sub_d = jnp.zeros(np_cells * 3, f32).at[lflat].add(q_b_l)
+    has_lk = lake_tbl["lakenabr"] >= 0
+    q_esurf = jnp.where(has_lk, lake_surf_d.reshape(np_cells, 3), q_esurf)
+    q_esub0 = jnp.where(has_lk, lake_sub_d.reshape(np_cells, 3), q_esub0)
+    contrib = lv & halo["lke_contrib"]
+    lk_surf_loc = segment_sum(jnp.where(contrib, q_s_l, 0.0), lid,
+                              num_segments=nl)
+    lk_sub_loc = segment_sum(jnp.where(contrib, q_b_l, 0.0), lid,
+                             num_segments=nl)
+    return q_esurf, q_esub0, lk_surf_loc, lk_sub_loc
+
+
 def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
-               y_local, fs_local, fs_riv, close_boundary: bool):
-    """RHS for one shard's cell + river blocks (runs inside shard_map)."""
+               y_local, fs_local, fs_riv, close_boundary: bool,
+               pk=None):
+    """RHS for one shard's cell + river blocks (runs inside shard_map).
+
+    ``pk``: optional ``(EdgeBlocks, interpret)`` Pallas kit — when given,
+    the lateral edge stencil runs the fused banded-window kernel
+    (core/pallas_edge.py) on this shard's local block, and only the
+    O(edge-cut) remainder (cross-shard + lake-bank edges) is evaluated in
+    XLA on the compact halo lists (``halo["rmt_*"]`` / ``halo["lke_*"]``)
+    and mask-merged — no dense neighbour gather remains (f32 only)."""
     sf, us, gw_raw = y_local["sf"], y_local["us"], y_local["gw"]
     riv_y = y_local["riv"]
     lake_stg = y_local["lake"]
@@ -169,95 +265,113 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     exports_c = jnp.stack([sf, gw, cu.eff_kh], axis=-1)  # [Np, 3]
     ghost_c, ghost_r = _halo_forward(plan, halo, exports_c, riv_stage)
 
-    nb_remote = halo["nb_remote"]  # [Np,3] bool
-    nb_local = halo["nb_local"]
-    nb_gpos = halo["nb_gpos"]
-    has_nb = edge["has_nb"]
-
-    def nb_value(local_arr, ghost_col):
-        loc = local_arr[nb_local]
-        rem = ghost_c[nb_gpos, ghost_col]
-        return jnp.where(nb_remote, rem, loc)
-
-    nsf = jnp.maximum(nb_value(sf, 0), 0.0)
-    gw_nb = nb_value(gw, 1)
-    effkh_nb = nb_value(cu.eff_kh, 2)
-
-    isf = jnp.maximum(sf, 0.0)[:, None]
-    B = edge["edge"]
-    dist = edge["dist2nabor"]
-
-    dh = (isf - nsf) + edge["dz_surf"]
-    up1 = jnp.where(isf > m.depression[:, None], isf, 0.0)
-    up2 = jnp.where(nsf > m.depression[:, None], nsf, 0.0)
-    ymean = jnp.where(dh > 0.0, jnp.broadcast_to(up1, up2.shape), up2)
-    ymean = jnp.minimum(ymean, MAXYSURF)
-    s = dh / dist
-    q_int = ph.manning_equation(ymean * B, edge["avg_rough"], ymean, s)
-    q_int = jnp.where((s > 0) & (isf <= 0.0), 0.0, q_int)
-    q_int = jnp.where((s < 0) & (nsf <= 0.0), 0.0, q_int)
-    q_int = jnp.where(ymean <= 0.0, 0.0, q_int)
-
-    # lake-bank branches (weir + darcy against the replicated lake stage)
-    if nl > 0:
-        lakenb = lake_tbl["lakenabr"]  # [Np,3] 0-based, -1 none
-        has_lk = lakenb >= 0
-        lki = jnp.where(has_lk, lakenb, 0)
-        lake_nsf = jnp.maximum(lake_stg[lki], 0.0)
-        # local-datum form (same as the single-chip fast path): the
-        # km-scale elevation is cancelled in f64 at partition build
-        q_surf_lake = ph.weir_flow_jtoi_local(
-            lake_nsf + lake_tbl["dzl"], isf, lake_nsf, 0.6, B, 0.01,
+    np_cells = sf.shape[0]
+    if pk is not None:
+        # ---- fused Pallas edge kernel + compact XLA remainder ----
+        q_esurf, q_esub0, lk_surf_loc, lk_sub_loc = _edge_stencil_pallas(
+            pk, halo, lake_tbl, ghost_c, sf, gw, cu.eff_kh, lake_stg, nl,
+            close_boundary,
         )
-    if close_boundary:
-        q_bnd = jnp.zeros_like(B)
     else:
-        sb = isf / edge["dist2edge"] * 0.5
-        isf5 = jnp.cbrt(jnp.maximum(isf, 1e-30) ** 5)
-        qb = jnp.sqrt(jnp.maximum(sb, 1e-30)) * isf5 * B / m.rough[:, None]
-        q_bnd = jnp.where((isf > m.depression[:, None]) & (sb > 0.0), qb, 0.0)
-    if nl > 0:
-        q_esurf = jnp.where(has_lk, q_surf_lake,
-                            jnp.where(has_nb, q_int, q_bnd))
-    else:
-        q_esurf = jnp.where(has_nb, q_int, q_bnd)
+        nb_remote = halo["nb_remote"]  # [Np,3] bool
+        nb_local = halo["nb_local"]
+        nb_gpos = halo["nb_gpos"]
+        has_nb = edge["has_nb"]
 
-    gw_col = gw[:, None]
-    dh_s = (gw_col - gw_nb) + edge["dz_bottom"]
-    ymean_s = ph.avg_y_gw(gw_col, gw_nb)
-    grad_s = dh_s / dist
-    kmean = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
-    q_sub_int = kmean * grad_s * ymean_s * B
-    q_sub_int = jnp.where(
-        ((dh_s > 0.0) & (gw_col <= 0.02)) | ((dh_s < 0.0) & (gw_nb <= 0.02)),
-        0.0, q_sub_int,
-    )
-    if close_boundary:
-        q_sub_bnd = jnp.zeros_like(B)
-    else:
-        grad_b = gw_col / edge["dist2edge"] * 0.5
-        q_sub_bnd = jnp.where(
-            (gw_col > m.depression[:, None] * 10.0) & (grad_b > 0.0),
-            cu.eff_kh[:, None] * grad_b, 0.0,
+        def nb_value(local_arr, ghost_col):
+            loc = local_arr[nb_local]
+            rem = ghost_c[nb_gpos, ghost_col]
+            return jnp.where(nb_remote, rem, loc)
+
+        nsf = jnp.maximum(nb_value(sf, 0), 0.0)
+        gw_nb = nb_value(gw, 1)
+        effkh_nb = nb_value(cu.eff_kh, 2)
+
+        isf = jnp.maximum(sf, 0.0)[:, None]
+        B = edge["edge"]
+        dist = edge["dist2nabor"]
+
+        dh = (isf - nsf) + edge["dz_surf"]
+        up1 = jnp.where(isf > m.depression[:, None], isf, 0.0)
+        up2 = jnp.where(nsf > m.depression[:, None], nsf, 0.0)
+        ymean = jnp.where(dh > 0.0, jnp.broadcast_to(up1, up2.shape), up2)
+        ymean = jnp.minimum(ymean, MAXYSURF)
+        s = dh / dist
+        q_int = ph.manning_equation(ymean * B, edge["avg_rough"], ymean, s)
+        q_int = jnp.where((s > 0) & (isf <= 0.0), 0.0, q_int)
+        q_int = jnp.where((s < 0) & (nsf <= 0.0), 0.0, q_int)
+        q_int = jnp.where(ymean <= 0.0, 0.0, q_int)
+
+        # lake-bank branches (weir + darcy against the replicated lake stage)
+        if nl > 0:
+            lakenb = lake_tbl["lakenabr"]  # [Np,3] 0-based, -1 none
+            has_lk = lakenb >= 0
+            lki = jnp.where(has_lk, lakenb, 0)
+            lake_nsf = jnp.maximum(lake_stg[lki], 0.0)
+            # local-datum form (same as the single-chip fast path): the
+            # km-scale elevation is cancelled in f64 at partition build
+            q_surf_lake = ph.weir_flow_jtoi_local(
+                lake_nsf + lake_tbl["dzl"], isf, lake_nsf, 0.6, B, 0.01,
+            )
+        if close_boundary:
+            q_bnd = jnp.zeros_like(B)
+        else:
+            sb = isf / edge["dist2edge"] * 0.5
+            isf5 = jnp.cbrt(jnp.maximum(isf, 1e-30) ** 5)
+            qb = jnp.sqrt(jnp.maximum(sb, 1e-30)) * isf5 * B / m.rough[:, None]
+            q_bnd = jnp.where((isf > m.depression[:, None]) & (sb > 0.0),
+                              qb, 0.0)
+        if nl > 0:
+            q_esurf = jnp.where(has_lk, q_surf_lake,
+                                jnp.where(has_nb, q_int, q_bnd))
+        else:
+            q_esurf = jnp.where(has_nb, q_int, q_bnd)
+
+        gw_col = gw[:, None]
+        dh_s = (gw_col - gw_nb) + edge["dz_bottom"]
+        ymean_s = ph.avg_y_gw(gw_col, gw_nb)
+        grad_s = dh_s / dist
+        kmean = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
+        q_sub_int = kmean * grad_s * ymean_s * B
+        q_sub_int = jnp.where(
+            ((dh_s > 0.0) & (gw_col <= 0.02))
+            | ((dh_s < 0.0) & (gw_nb <= 0.02)),
+            0.0, q_sub_int,
         )
-    if nl > 0:
-        dh_lk = (gw_col - lake_stg[lki]) + lake_tbl["dzb"]
-        ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lki])
-        kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
-        q_sub_lake = kmean_lk * (dh_lk / dist) * ymean_lk * B
-        q_sub_lake = jnp.where(
-            ((dh_lk > 0.0) & (gw_col <= 0.02))
-            | ((dh_lk < 0.0) & (lake_stg[lki] <= 0.02)),
-            0.0, q_sub_lake,
-        )
-        q_esub0 = jnp.where(has_lk, q_sub_lake,
-                            jnp.where(has_nb, q_sub_int, q_sub_bnd))
-    else:
-        q_esub0 = jnp.where(has_nb, q_sub_int, q_sub_bnd)
+        if close_boundary:
+            q_sub_bnd = jnp.zeros_like(B)
+        else:
+            grad_b = gw_col / edge["dist2edge"] * 0.5
+            q_sub_bnd = jnp.where(
+                (gw_col > m.depression[:, None] * 10.0) & (grad_b > 0.0),
+                cu.eff_kh[:, None] * grad_b, 0.0,
+            )
+        if nl > 0:
+            dh_lk = (gw_col - lake_stg[lki]) + lake_tbl["dzb"]
+            ymean_lk = ph.avg_y_gw(gw_col, lake_stg[lki])
+            kmean_lk = 0.5 * (cu.eff_kh[:, None] + effkh_nb)
+            q_sub_lake = kmean_lk * (dh_lk / dist) * ymean_lk * B
+            q_sub_lake = jnp.where(
+                ((dh_lk > 0.0) & (gw_col <= 0.02))
+                | ((dh_lk < 0.0) & (lake_stg[lki] <= 0.02)),
+                0.0, q_sub_lake,
+            )
+            q_esub0 = jnp.where(has_lk, q_sub_lake,
+                                jnp.where(has_nb, q_sub_int, q_sub_bnd))
+        else:
+            q_esub0 = jnp.where(has_nb, q_sub_int, q_sub_bnd)
+        if nl > 0:
+            lk_mask = has_lk & ~is_lake_cell[:, None]
+            lk_surf_loc = segment_sum(
+                jnp.where(lk_mask, q_esurf, 0.0).ravel(), lki.ravel(),
+                num_segments=nl,
+            )
+            lk_sub_loc = segment_sum(
+                jnp.where(lk_mask, q_esub0, 0.0).ravel(), lki.ravel(),
+                num_segments=nl,
+            )
     q_esub = q_esub0 * fs_local["fs"].fu_sub[:, None]
     if nl > 0:
-        q_lake_surf_e = jnp.where(has_lk & ~is_lake_cell[:, None], q_esurf, 0.0)
-        q_lake_sub_e = jnp.where(has_lk & ~is_lake_cell[:, None], q_esub0, 0.0)
         q_esurf = jnp.where(is_lake_cell[:, None], 0.0, q_esurf)
         q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
 
@@ -281,7 +395,6 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     q_seg_sub = jnp.where(sval, q_seg_sub, 0.0)
 
     nr_local = riv_stage.shape[0]
-    np_cells = sf.shape[0]
     sr_local = seg["riv_local"]
     q_riv_surf = segment_sum(
         jnp.where(sr_local, q_seg_surf, 0.0), seg["riv_slot"],
@@ -390,10 +503,8 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
         q_lake_evap = jnp.maximum(
             0.0, jnp.minimum(q_lake_evap, q_lake_prcp + lake_stg)
         )
-        q_lake_surf = jax.lax.psum(segment_sum(
-            q_lake_surf_e.ravel(), lki.ravel(), num_segments=nl), AXIS)
-        q_lake_sub = jax.lax.psum(segment_sum(
-            q_lake_sub_e.ravel(), lki.ravel(), num_segments=nl), AXIS)
+        q_lake_surf = jax.lax.psum(lk_surf_loc, AXIS)
+        q_lake_sub = jax.lax.psum(lk_sub_loc, AXIS)
         tl = jnp.where(to_lake, riv["riv_to_lake"], 0)
         q_lake_rivin = jax.lax.psum(segment_sum(
             jnp.where(to_lake & rvalid, q_riv_down, 0.0), tl,
@@ -417,21 +528,39 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
 _SHARDED_LAKE_KEYS = ("lakenabr", "dzl", "dzb")
 
 
-def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
+def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
+                     float_dtype=None, use_pallas: bool = False,
+                     interpret: "bool | None" = None):
     """Build (mesh, rhs_fn, device_arrays).
 
     ``rhs_fn(t, y, params)`` takes the sharded state pytree
     {sf,us,gw:[P,Np], riv:[P,Rp], lake:[Nl]} and returns dY in the same
     layout; cell and river blocks are sharded over the device mesh axis,
-    lakes replicated."""
+    lakes replicated.
+
+    ``float_dtype``: f64 (default, oracle-parity) or f32 (TPU fast path;
+    local-datum dz arrays keep mm-scale gradients).  ``use_pallas`` runs
+    the fused banded-window edge kernel per shard (requires f32 and a
+    partition built with banded per-shard numbering — ``sm.edge_blocks``
+    non-None); cross-shard and lake-bank edges are evaluated on the
+    compact halo lists and mask-merged."""
     if devices is None:
         devices = np.array(jax.devices()[: sm.p])
     mesh = Mesh(devices, (AXIS,))
     plan = sm.plan
 
-    f64 = jnp.float64
+    fd = float_dtype or jnp.float64
+    if use_pallas:
+        if fd != jnp.float32:
+            raise ValueError("use_pallas requires float_dtype=jnp.float32 "
+                             "(Mosaic has no f64)")
+        if sm.edge_blocks is None:
+            raise ValueError(
+                "partition has no per-shard edge blocks (local numbering "
+                "not banded) — build_sharded_mesh(md, p, shard_order='rcm')"
+            )
     cell = {
-        k: jnp.asarray(v, dtype=f64 if v.dtype.kind == "f" else jnp.int32)
+        k: jnp.asarray(v, dtype=fd if v.dtype.kind == "f" else jnp.int32)
         for k, v in sm.cell.items()
     }
     cell["valid"] = jnp.asarray(sm.cell["valid"])
@@ -442,21 +571,33 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
             return jnp.asarray(v)
         if v.dtype.kind in "iu":
             return jnp.asarray(v, dtype=jnp.int32)
-        return jnp.asarray(v, dtype=f64)
+        return jnp.asarray(v, dtype=fd)
 
     edge = {k: conv(v) for k, v in sm.edge.items()}
     seg = {k: conv(v) for k, v in sm.seg.items()}
     riv = {k: conv(v) for k, v in sm.riv.items()}
     halo = {k: conv(v) for k, v in sm.halo.items()}
+    _EB_FIELDS = ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
+                  "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")
+    if use_pallas:
+        from shud_tpu.core.pallas_edge import _interpret_default
+
+        interp = (interpret if interpret is not None
+                  else _interpret_default())
+        ebm = sm.edge_blocks
+        for f in _EB_FIELDS:
+            a = np.asarray(getattr(ebm, f))
+            halo[f"eb_{f}"] = jnp.asarray(
+                a, jnp.int32 if a.dtype.kind in "iu" else jnp.float32)
     lake_tbl = {}
     if sm.num_lake > 0:
         lake_tbl = {
             "lakenabr": jnp.asarray(sm.lake["lakenabr"], dtype=jnp.int32),
-            "dzl": jnp.asarray(sm.lake["dzl"], dtype=f64),
-            "dzb": jnp.asarray(sm.lake["dzb"], dtype=f64),
-            "zmin": jnp.asarray(sm.lake["zmin"], dtype=f64),
-            "bathy_y": jnp.asarray(sm.lake["bathy_y"], dtype=f64),
-            "bathy_a": jnp.asarray(sm.lake["bathy_a"], dtype=f64),
+            "dzl": jnp.asarray(sm.lake["dzl"], dtype=fd),
+            "dzb": jnp.asarray(sm.lake["dzb"], dtype=fd),
+            "zmin": jnp.asarray(sm.lake["zmin"], dtype=fd),
+            "bathy_y": jnp.asarray(sm.lake["bathy_y"], dtype=fd),
+            "bathy_a": jnp.asarray(sm.lake["bathy_a"], dtype=fd),
             "num_ele": jnp.asarray(sm.lake["num_ele"], dtype=jnp.int32),
         }
 
@@ -518,9 +659,19 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
                 "fs": fs_obj, "ele_ybc": fsc_1["ele_ybc"],
                 "ele_qbc": fsc_1["ele_qbc"], "ele_qss": fsc_1["ele_qss"],
             }
+            if use_pallas:
+                from shud_tpu.core.pallas_edge import EdgeBlocks
+
+                eb_l = EdgeBlocks(
+                    blk=ebm.blk, nb=ebm.nb, bc=ebm.bc, num_ele=ebm.num_ele,
+                    **{f: halo_1[f"eb_{f}"] for f in _EB_FIELDS},
+                )
+                pk = (eb_l, interp)
+            else:
+                pk = None
             dy = _local_rhs(
                 plan, cell_1, edge_1, seg_1, riv_1, lake_1, halo_1, t_l,
-                y_1, fs_local, fsr_1, close_boundary,
+                y_1, fs_local, fsr_1, close_boundary, pk=pk,
             )
             return {
                 "sf": dy["sf"][None], "us": dy["us"][None],
@@ -540,7 +691,7 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True):
             ),
             out_specs=y_spec,
             check_rep=False,
-        )(cellp, edgep, segp, rivp, halop, lake_tbl, fs_cell, fs_rivp, y,
+        )(cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp, y,
           jnp.asarray(t))
 
     params = (cell, edge, seg, riv, halo, lake_tbl)

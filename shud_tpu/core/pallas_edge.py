@@ -88,12 +88,19 @@ class EdgeBlocks:
     dep: np.ndarray        # [nb,bc,128]  f32 depression threshold
     rough_cell: np.ndarray # [nb,bc,128]  f32 cell Manning roughness
 
+    # gather row-shift range: every gathered edge's window row lies within
+    # [own_row + k_lo, own_row + k_hi] (own_row = bc + position chunk).
+    # The kernels sweep only these k_hi-k_lo+1 aligned shifts — O(band/128)
+    # — instead of all 3*bc window chunks.
+    k_lo: int = -1
+    k_hi: int = 1
+
 
 jax.tree_util.register_dataclass(
     EdgeBlocks,
     data_fields=["nbq", "edge", "dist", "rough_avg", "dzs", "dzb", "m_int",
                  "m_bnd", "dist2edge", "dep", "rough_cell"],
-    meta_fields=["blk", "nb", "bc", "num_ele"],
+    meta_fields=["blk", "nb", "bc", "num_ele", "k_lo", "k_hi"],
 )
 
 
@@ -175,8 +182,18 @@ def build_edge_blocks_arrays(
         return None  # numbering not banded enough for this blk
     nbq = pad_edge(q, 0, np.int32)
 
+    # aligned row-shift range of the gather sweep: window row of the
+    # neighbour minus the cell's own window row (bc + position chunk)
+    prow = (np.arange(ne) % blk) // 128
+    shift = (q >> 7) - bc - prow[:, None]
+    if gathered.any():
+        k_lo = int(shift[gathered].min())
+        k_hi = int(shift[gathered].max())
+    else:
+        k_lo, k_hi = 0, 0
+
     return EdgeBlocks(
-        blk=blk, nb=nb, bc=bc, num_ele=ne,
+        blk=blk, nb=nb, bc=bc, num_ele=ne, k_lo=k_lo, k_hi=k_hi,
         nbq=blk_edge(nbq),
         edge=blk_edge(pad_edge(edge_len)),
         dist=blk_edge(pad_edge(np.where(gathered, dist2nabor, 1.0))),
@@ -214,7 +231,8 @@ def build_edge_blocks(md, min_blk: int = 512,
 def edge_blocks_to_device(eb: "EdgeBlocks | None") -> "EdgeBlocks | None":
     if eb is None:
         return None
-    kw = {f: getattr(eb, f) for f in ("blk", "nb", "bc", "num_ele")}
+    kw = {f: getattr(eb, f)
+          for f in ("blk", "nb", "bc", "num_ele", "k_lo", "k_hi")}
     for f in ("nbq", "m_int", "m_bnd"):
         kw[f] = jnp.asarray(getattr(eb, f), jnp.int32)
     for f in ("edge", "dist", "rough_avg", "dzs", "dzb", "dist2edge",
@@ -368,21 +386,37 @@ def _lane_gather(x, idx):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _window_gather(bc, chunk, lane, parts):
-    """In-VMEM banded gather: sweep the 3-block window in 128-lane chunks.
+def _window_gather(bc, k_lo, k_hi, nbq, parts):
+    """In-VMEM banded gather via an aligned row-shift sweep.
 
     ``parts`` = 3 tuples (prev/self/next) of field refs; returns one gathered
-    [3*bc, 128] array per field — a pure index select, exact."""
+    [3*bc, 128] array per field — a pure index select, exact.
+
+    Every gathered edge's neighbour lies within [k_lo, k_hi] window rows of
+    its cell's own row (the graph-bandwidth bound, computed at build time),
+    so the sweep runs k_hi-k_lo+1 iterations — O(band/128) — instead of the
+    3*bc full window chunks of the naive formulation.  For shift s the
+    operand is the STATIC window slice win[bc+s : bc+s+bc] replicated per
+    edge slot, so each iteration is one cheap aligned slice + one lane-wise
+    ``dynamic_gather`` + one select."""
     e3 = 3 * bc
+    lane = nbq & 127
+    # own window row of each output element: bc + its position chunk
+    prow = jax.lax.broadcasted_iota(jnp.int32, (e3, 128), 0) % bc
+    shift = (nbq >> 7) - bc - prow
     nf = len(parts[0])
+    wins = [
+        jnp.concatenate([parts[0][k][...], parts[1][k][...],
+                         parts[2][k][...]], axis=0)
+        for k in range(nf)
+    ]
     outs = [jnp.zeros((e3, 128), jnp.float32)] * nf
-    for c in range(3 * bc):
-        srcs = parts[c // bc]
-        r = c % bc
-        sel = chunk == c
+    for s in range(k_lo, k_hi + 1):
+        sel = shift == s
         for k in range(nf):
-            g = _lane_gather(
-                jnp.broadcast_to(srcs[k][r, :][None, :], (e3, 128)), lane)
+            rows = wins[k][bc + s : bc + s + bc]  # [bc,128] static slice
+            op = jnp.concatenate([rows, rows, rows], axis=0)
+            g = _lane_gather(op, lane)
             outs[k] = jnp.where(sel, g, outs[k])
     return outs
 
@@ -391,18 +425,16 @@ def _rep3(v):
     return jnp.concatenate([v, v, v], axis=0)
 
 
-def _edge_kernel(close_boundary: bool, bc: int,
+def _edge_kernel(close_boundary: bool, bc: int, k_lo: int, k_hi: int,
                  nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref, dzb_ref,
                  mint_ref, mbnd_ref, d2e_ref,
                  dep_ref, rcell_ref,
                  sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
                  qs_ref, qb_ref):
     nbq = nbq_ref[0]
-    lane = nbq & 127
-    chunk = nbq >> 7
 
     nsf_raw, ngw, nkh = _window_gather(
-        bc, chunk, lane,
+        bc, k_lo, k_hi, nbq,
         ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)))
 
     isf = _rep3(jnp.maximum(sf_s[...], 0.0))
@@ -443,7 +475,8 @@ def _mask_max0(x):
     return jnp.where(x > 0.0, 1.0, jnp.where(x == 0.0, 0.5, 0.0))
 
 
-def _edge_kernel_coeff(close_boundary: bool, bc: int,
+def _edge_kernel_coeff(close_boundary: bool, bc: int, k_lo: int,
+                       k_hi: int,
                        nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref,
                        dzb_ref, mint_ref, mbnd_ref, d2e_ref,
                        dep_ref, rcell_ref,
@@ -466,11 +499,9 @@ def _edge_kernel_coeff(close_boundary: bool, bc: int,
     primal-only), so Newton pays it once per iteration while the m Krylov
     products run only the cheap apply kernel."""
     nbq = nbq_ref[0]
-    lane = nbq & 127
-    chunk = nbq >> 7
 
     nsf_raw, ngw, nkh = _window_gather(
-        bc, chunk, lane,
+        bc, k_lo, k_hi, nbq,
         ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)))
 
     sf_self = sf_s[...]
@@ -576,7 +607,7 @@ def _edge_kernel_coeff(close_boundary: bool, bc: int,
         kj_ref[0] = jnp.where(m_int, k_j_int, zi)
 
 
-def _edge_kernel_apply(bc: int,
+def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int,
                        nbq_ref, si_ref, sj_ref, g1_ref, g2_ref, ki_ref,
                        kj_ref,
                        tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
@@ -587,11 +618,9 @@ def _edge_kernel_apply(bc: int,
     no flux-law recompute, no transcendentals.  This is what each Krylov
     vector inside Newton executes (solver/bdf.py)."""
     nbq = nbq_ref[0]
-    lane = nbq & 127
-    chunk = nbq >> 7
 
     tnsf, tngw, tnkh = _window_gather(
-        bc, chunk, lane,
+        bc, k_lo, k_hi, nbq,
         ((tsf_p, tgw_p, tkh_p), (tsf_s, tgw_s, tkh_s),
          (tsf_n, tgw_n, tkh_n)))
 
@@ -651,7 +680,8 @@ def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
     e_spec, f_prev, f_self, f_next = _specs(eb, pl)
     sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
 
-    kern = functools.partial(_edge_kernel, close_boundary, bc)
+    kern = functools.partial(_edge_kernel, close_boundary, bc,
+                             eb.k_lo, eb.k_hi)
     # Mosaic cannot lower 64-bit index/scalar types; scope out the global
     # jax_enable_x64 while tracing the kernel (all operands are 32-bit)
     with jax.enable_x64(False):
@@ -679,7 +709,8 @@ def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
     e_spec, f_prev, f_self, f_next = _specs(eb, pl)
     sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
 
-    kern = functools.partial(_edge_kernel_coeff, close_boundary, bc)
+    kern = functools.partial(_edge_kernel_coeff, close_boundary,
+                             bc, eb.k_lo, eb.k_hi)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -705,7 +736,8 @@ def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
     e_spec, f_prev, f_self, f_next = _specs(eb, pl)
     tsf_b, tgw_b, tkh_b = _cells(eb, tsf), _cells(eb, tgw), _cells(eb, tkh)
 
-    kern = functools.partial(_edge_kernel_apply, bc)
+    kern = functools.partial(_edge_kernel_apply, bc,
+                             eb.k_lo, eb.k_hi)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
         tqs, tqb = pl.pallas_call(

@@ -708,6 +708,9 @@ def _build_shard_edge_blocks(p, np_cells, nabr_loc, m_int_sh, m_bnd_sh,
               "m_bnd", "dist2edge", "dep", "rough_cell"]
     return EdgeBlocks(
         blk=e0.blk, nb=e0.nb, bc=e0.bc, num_ele=e0.num_ele,
+        # one shared shift range (the kernel shape is common to all shards)
+        k_lo=min(eb.k_lo for eb in per_shard),
+        k_hi=max(eb.k_hi for eb in per_shard),
         **{f: np.stack([getattr(eb, f) for eb in per_shard])
            for f in fields},
     )

@@ -27,7 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # when /tmp/oracle is absent.
 CPP_CELL_EVALS_PER_S_FALLBACK = 5.7e6
 
-N_DAYS = 5  # simulated days to time (after 1 warmup day)
+N_DAYS = 20  # simulated days per timed batch (after 1 warmup day)
+# 20-day batches are the production protocol (driver/run_fast.py
+# dispatches multi-day chunks); 5-day batches under-reported the
+# sustained rate by ~25% (dispatch overhead amortises with batch
+# size — docs/PERF.md "How we time").
 
 
 def measure_cpp_baseline() -> float:
@@ -131,6 +135,9 @@ def main():
         "value": round(best, 1),
         "unit": "cell-steps/s",
         "vs_baseline": round(best / baseline, 4),
+        "protocol": "20-day dispatch batches (sustained production "
+                    "protocol), best of 3; NFE x NumEle / wall, host-fetch "
+                    "synchronised",
     }))
 
 

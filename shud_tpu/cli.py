@@ -131,11 +131,15 @@ def main(argv=None):
         p.error("-p is supported with the default (fused) driver only")
 
     if args.shards is not None:
+        import jax.numpy as jnp
+
         from shud_tpu.parallel.runtime import run_project_sharded
 
         run_project_sharded(args.project, base=args.base, p=args.shards,
                             end_day=args.end_day, verbose=not args.quiet,
-                            outpath=args.output)
+                            outpath=args.output,
+                            float_dtype=jnp.float32 if args.f32 else None,
+                            use_pallas=bool(args.pallas and args.f32))
         return
 
     if args.split:

@@ -252,9 +252,11 @@ class ShardedSimulation:
 
 def run_project_sharded(project: str, base: str = ".", p: int | None = None,
                         end_day: float | None = None, verbose: bool = True,
-                        outpath: str | None = None, **overrides):
+                        outpath: str | None = None, float_dtype=None,
+                        use_pallas: bool = False, **overrides):
     """Full sharded run with state outputs, restart snapshots and time log —
-    ``./shud <prj>`` over a P-device mesh."""
+    ``./shud <prj>`` over a P-device mesh.  ``float_dtype=jnp.float32`` +
+    ``use_pallas=True`` runs the per-shard fused edge kernel."""
     import time as _time
 
     import jax.numpy as jnp
@@ -278,7 +280,8 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
         p = len(jax.devices())
         while p & (p - 1):
             p -= 1  # largest power of two <= device count
-    sim = ShardedSimulation(inp, md, p)
+    sim = ShardedSimulation(inp, md, p, float_dtype=float_dtype,
+                            use_pallas=use_pallas)
     cs = inp.control
     paths = inp.paths
     ne, nr, nl = md.num_ele, md.num_riv, md.num_lake

@@ -20,6 +20,7 @@ def make_synthetic_project(
     end_day: float = 2.0,
     seed: int = 0,
     with_lake: bool = False,
+    storm_mm_day: float = 20.0,
 ) -> ProjectInput:
     """A (2*nx*ny)-cell watershed: grid of quads split into triangles,
     sloping toward a river chain along the bottom boundary.
@@ -129,7 +130,8 @@ def make_synthetic_project(
     ndays = int(end_day) + 3
     t_days = np.arange(ndays, dtype=np.float64)
     data = np.zeros((ndays, 5))
-    data[:, 0] = np.where((t_days >= 0.5) & (t_days < 1.5), 20.0, 0.0)  # mm/d
+    data[:, 0] = np.where((t_days >= 0.5) & (t_days < 1.5),
+                          storm_mm_day, 0.0)  # mm/d
     data[:, 1] = 15.0 + 5.0 * np.sin(t_days / 5.0)  # temp C
     data[:, 2] = 0.6  # rh
     data[:, 3] = 2.0  # wind

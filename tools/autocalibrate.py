@@ -44,6 +44,10 @@ def main():
                          "wide bounds (10^[-2.5, 2.5]); `*_add` keys stay "
                          "linear.  Conductivity multipliers span orders of "
                          "magnitude — log search reaches them.")
+    ap.add_argument("--log-bound", type=float, default=2.5,
+                    help="half-width of the log10 search box for "
+                         "multiplicative keys under --log (default 2.5 "
+                         "decades)")
     ap.add_argument("--x0", default=None,
                     help="comma-separated initial vector (same order as "
                          "--params) to seed from a previous round")
@@ -159,9 +163,10 @@ def main():
     if args.log:
         z0 = x0.copy()
         z0[log_mask] = np.log10(np.maximum(x0[log_mask], 1e-6))
-        # multiplicative: 10^[-2.5, 2.5]; additive: linear [-5, 5]
-        lo = np.where(log_mask, -2.5, -5.0)
-        hi = np.where(log_mask, 2.5, 5.0)
+        # multiplicative: 10^[-b, b]; additive: linear [-5, 5]
+        b = float(args.log_bound)
+        lo = np.where(log_mask, -b, -5.0)
+        hi = np.where(log_mask, b, 5.0)
     else:
         z0 = x0
         lo = np.full(len(names), 0.05)

@@ -48,6 +48,10 @@ def main():
                     help="half-width of the log10 search box for "
                          "multiplicative keys under --log (default 2.5 "
                          "decades)")
+    ap.add_argument("--best-file", default=None,
+                    help="path to persist the best vector as it improves "
+                         "(one line: NSE,x1,x2,...) — lets a watchdog "
+                         "resume via --x0 after a TPU-worker crash")
     ap.add_argument("--x0", default=None,
                     help="comma-separated initial vector (same order as "
                          "--params) to seed from a previous round")
@@ -103,6 +107,7 @@ def main():
 
     base_calib = inp0.calib
     n_eval = [0]
+    best_seen = [-np.inf]
     fr_cache = [None]  # forcing/TSR tables reused across candidates
 
     # multiplicative scalars (conductivities etc. span orders of magnitude)
@@ -147,6 +152,11 @@ def main():
         print(f"    eval {n_eval[0]}: " +
               " ".join(f"{n}={v:.3f}" for n, v in zip(names, x)) +
               f"  NSE={score:.4f}", flush=True)
+        if args.best_file and score > best_seen[0]:
+            best_seen[0] = score
+            with open(args.best_file, "w") as f:
+                f.write(f"{score:.6f}," +
+                        ",".join(f"{v:.6g}" for v in x) + "\n")
         return -score
 
     x0 = np.array([getattr(base_calib, _CALIB_KEYS[n.lower()])

@@ -386,6 +386,26 @@ def _lane_gather(x, idx):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+def _window_gather_chunks(bc, nbq, parts):
+    """Fallback sweep over all 3*bc window chunks (the pre-round-3 form;
+    select with SHUD_EDGE_SWEEP=chunks).  Same exact semantics as
+    `_window_gather`, O(bc) more VPU work."""
+    lane = nbq & 127
+    chunk = nbq >> 7
+    e3 = 3 * bc
+    nf = len(parts[0])
+    outs = [jnp.zeros((e3, 128), jnp.float32)] * nf
+    for c in range(3 * bc):
+        srcs = parts[c // bc]
+        r = c % bc
+        sel = chunk == c
+        for k in range(nf):
+            g = _lane_gather(
+                jnp.broadcast_to(srcs[k][r, :][None, :], (e3, 128)), lane)
+            outs[k] = jnp.where(sel, g, outs[k])
+    return outs
+
+
 def _window_gather(bc, k_lo, k_hi, nbq, parts):
     """In-VMEM banded gather via an aligned row-shift sweep.
 
@@ -399,6 +419,10 @@ def _window_gather(bc, k_lo, k_hi, nbq, parts):
     operand is the STATIC window slice win[bc+s : bc+s+bc] replicated per
     edge slot, so each iteration is one cheap aligned slice + one lane-wise
     ``dynamic_gather`` + one select."""
+    import os
+
+    if os.environ.get("SHUD_EDGE_SWEEP", "") == "chunks":
+        return _window_gather_chunks(bc, nbq, parts)
     e3 = 3 * bc
     lane = nbq & 127
     # own window row of each output element: bc + its position chunk

@@ -381,14 +381,17 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     seg_stage = jnp.where(
         seg["riv_local"], riv_stage[seg["riv_slot"]], ghost_r[seg["riv_gpos"]]
     )
-    zs_e = m.z_surf[se]
     seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
+    # local-datum form (identical to rhs_full's low_prec branch): subtract
+    # z_surf (weir) / z_bottom (bed Darcy) — algebraically identical in
+    # f64, f32-safe against km-scale elevations
+    zero_e = jnp.zeros_like(seg_isf)
     q_seg_surf = ph.weir_flow_jtoi(
-        zs_e, seg_isf, zs_e - seg["rdepth"], seg_stage,
-        zs_e, seg["cwr"], seg["length"], m.depression[se],
+        zero_e, seg_isf, -seg["rdepth"], seg_stage,
+        zero_e, seg["cwr"], seg["length"], m.depression[se],
     )
     q_seg_sub = ph.flux_r2e_gw(
-        seg_stage, zs_e - seg["rdepth"], gw[se], m.z_bottom[se],
+        seg_stage, m.aq_depth[se] - seg["rdepth"], gw[se], zero_e,
         cu.eff_kh[se], seg["rksat"], seg["length"], seg["rbed"],
     ) * fs_local["fs"].fu_sub[se]
     q_seg_surf = jnp.where(sval, q_seg_surf, 0.0)

@@ -48,6 +48,13 @@ def main():
                     help="half-width of the log10 search box for "
                          "multiplicative keys under --log (default 2.5 "
                          "decades)")
+    ap.add_argument("--nfe-budget-per-day", type=int, default=0,
+                    help="abort a candidate once its RHS-eval count "
+                         "exceeds budget*days (pathological parameter "
+                         "combinations go 100-200x stiffer than normal; "
+                         "fail fast with a penalty score instead of "
+                         "running multi-minute device dispatches). "
+                         "0 = no budget")
     ap.add_argument("--best-file", default=None,
                     help="path to persist the best vector as it improves "
                          "(one line: NSE,x1,x2,...) — lets a watchdog "
@@ -137,6 +144,7 @@ def main():
         # tunnel-latency-bound: ~0.4 s/day of the 0.5 s/day eval cost)
         chunk = int(args.chunk_days)
         wpd = int(round(1440.0 / sim.inp.control.solver_step))
+        budget = int(args.nfe_budget_per_day) * ndays
         qd = np.zeros(ndays)
         d0 = 0
         while d0 < ndays:
@@ -145,6 +153,15 @@ def main():
             qn = np.asarray(qdowns)[:, outlet].sum(axis=1)
             qd[d0 : d0 + nd] = np.abs(qn).reshape(nd, wpd).mean(axis=1)
             d0 += nd
+            # prorated: a 100x-stiff candidate aborts after its first chunk
+            if budget and int(sim.bdf.nfe) > args.nfe_budget_per_day * d0:
+                n_eval[0] += 1
+                print(f"    eval {n_eval[0]}: " +
+                      " ".join(f"{n}={v:.3f}" for n, v in zip(names, x)) +
+                      f"  ABORT nfe={int(sim.bdf.nfe)} "
+                      f"(> {args.nfe_budget_per_day}/day) at day {d0}",
+                      flush=True)
+                return 5.0  # pathological-stiffness penalty (NSE <= 1)
         sim_daily = qd * 1440.0  # m3/min window samples -> m3/day
         w0 = int(args.warmup)
         score = nse(sim_daily[w0:], obs_daily[w0:])

@@ -45,10 +45,12 @@ def main():
                                      float_dtype=fd)
         sim.cfg = sim.cfg._replace(**cfg_over)
         sim.bdf = bdf_init(sim.t, sim.bdf.y, sim.cfg)
-        # warmup interval compiles; timed from day 0 (includes the storm)
+        # warmup interval compiles; timed from day 0 (includes the storm).
+        # 3-hour dispatches: a full day at 1M cells under the storm can be
+        # a multi-minute execution, which the shared tunnel kills
         t0 = time.time()
-        for _ in range(int(days)):
-            sim.advance_interval(1440.0)
+        for _ in range(int(days * 8)):
+            sim.advance_interval(180.0)
         nfe = int(sim.bdf.nfe)  # host fetch = sync
         wall = time.time() - t0
         return (np.asarray(sim.y_np(), dtype=np.float64), nfe,
@@ -59,9 +61,8 @@ def main():
           f"wall={w0:.0f}s", flush=True)
     for label, over in [
         ("m=5", dict(krylov_m=5)),
-        ("ni=4", dict(newton_iters=4)),
-        ("ni=4 m=5", dict(newton_iters=4, krylov_m=5)),
         ("ni=2", dict(newton_iters=2)),
+        ("ni=4 m=5", dict(newton_iters=4, krylov_m=5)),
     ]:
         y, nfe, ns, nf, w = run(**over)
         d = np.abs(y - y0).max()

@@ -48,6 +48,12 @@ def main():
                     help="half-width of the log10 search box for "
                          "multiplicative keys under --log (default 2.5 "
                          "decades)")
+    ap.add_argument("--bound", action="append", default=[],
+                    help="per-key search-box override 'key=lo:hi' in the "
+                         "key's search space (log10 for multiplicative "
+                         "keys under --log, linear otherwise); e.g. "
+                         "'et_etp=-0.5:0.5' keeps the ET multiplier "
+                         "physically plausible (0.3-3.2x)")
     ap.add_argument("--nfe-budget-per-day", type=int, default=0,
                     help="abort a candidate once its RHS-eval count "
                          "exceeds budget*days (pathological parameter "
@@ -198,6 +204,14 @@ def main():
         z0 = x0
         lo = np.full(len(names), 0.05)
         hi = np.full(len(names), 20.0)
+    for spec in args.bound:
+        key, rng = spec.split("=", 1)
+        if key.strip().lower() not in [n.lower() for n in names]:
+            ap.error(f"--bound key {key!r} not in --params")
+        i = [n.lower() for n in names].index(key.strip().lower())
+        blo, bhi = (float(v) for v in rng.split(":"))
+        lo[i], hi[i] = blo, bhi
+        z0[i] = np.clip(z0[i], blo, bhi)
     t0 = time.time()
     z_best, f_best, hist = cma_es(
         objective, z0, sigma0=args.sigma0, bounds=(lo, hi),

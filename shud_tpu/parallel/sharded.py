@@ -278,14 +278,15 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
         nb_gpos = halo["nb_gpos"]
         has_nb = edge["has_nb"]
 
-        def nb_value(local_arr, ghost_col):
-            loc = local_arr[nb_local]
-            rem = ghost_c[nb_gpos, ghost_col]
-            return jnp.where(nb_remote, rem, loc)
-
-        nsf = jnp.maximum(nb_value(sf, 0), 0.0)
-        gw_nb = nb_value(gw, 1)
-        effkh_nb = nb_value(cu.eff_kh, 2)
+        # ONE stacked gather for all three neighbour fields (same trick as
+        # the single-chip fast path — three separate dense gathers cost
+        # 3x the HBM sweeps; exports_c is already the stacked array)
+        nb_stack = jnp.where(
+            nb_remote[..., None], ghost_c[nb_gpos], exports_c[nb_local]
+        )  # [Np, 3, (sf, gw, effKH)]
+        nsf = jnp.maximum(nb_stack[..., 0], 0.0)
+        gw_nb = nb_stack[..., 1]
+        effkh_nb = nb_stack[..., 2]
 
         isf = jnp.maximum(sf, 0.0)[:, None]
         B = edge["edge"]
@@ -548,7 +549,17 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
     non-None); cross-shard and lake-bank edges are evaluated on the
     compact halo lists and mask-merged."""
     if devices is None:
-        devices = np.array(jax.devices()[: sm.p])
+        avail = jax.devices()
+        if len(avail) < sm.p:
+            raise ValueError(
+                f"partition has {sm.p} shards but only {len(avail)} "
+                f"device(s) are visible ({avail[0].platform}); for a "
+                f"virtual CPU mesh run with --cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={sm.p} "
+                f"(an undersized mesh would fail later with an opaque "
+                f"ppermute error)"
+            )
+        devices = np.array(avail[: sm.p])
     mesh = Mesh(devices, (AXIS,))
     plan = sm.plan
 

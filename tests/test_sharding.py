@@ -285,3 +285,18 @@ def test_sharded_multiwindow_trajectory():
     y_sd = np.asarray(s1.bdf.y)
     d = np.abs(y_sh - y_sd).max()
     assert d < 1e-5, f"sharded vs single-device trajectory diverged: {d}"
+
+
+def test_undersized_device_mesh_fails_fast(ccw, monkeypatch):
+    """A partition with more shards than visible devices must fail with an
+    actionable error at build time, not an opaque ppermute error at solve
+    time (the axon plugin overriding JAX_PLATFORMS=cpu produced exactly
+    that: a 1-device mesh asked to run an 8-way exchange schedule)."""
+    import shud_tpu.parallel.sharded as shmod
+
+    _inp, md, _dm = ccw
+    sm = build_sharded_mesh(md, 4)
+    one = jax.devices()[:1]
+    monkeypatch.setattr(shmod.jax, "devices", lambda *a, **k: one)
+    with pytest.raises(ValueError, match="4 shards but only 1"):
+        make_sharded_rhs(sm)

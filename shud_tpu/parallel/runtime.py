@@ -54,10 +54,17 @@ def init_distributed(coordinator: str | None = None,
 def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                            t: float, tout: float,
                            buckets: BucketState | None = None,
-                           fr=None, dm=None):
+                           fr=None, dm=None, cryo=None,
+                           cryo_bounds=(-1.0, -5.0, -3.0, -10.0)):
     """Host-side forcing slice for window [t, tout), scattered to shard
     blocks.  Pass prebuilt ``fr``/``dm`` to amortise across windows (the
-    multi-window driver does); otherwise built per call (dry run, tests)."""
+    multi-window driver does); otherwise built per call (dry run, tests).
+
+    BC/SS time series (MD_update.cpp:102-189) and the cryosphere frozen
+    fractions (MD_ET.cpp:301-311) are applied exactly as the single-chip
+    fused driver does: per-window step-semantics row lookup for the BCs,
+    and one ``cryo_step`` per window when a ``cryo`` state is passed.
+    Returns (fs_cell, fs_riv, new_buckets, new_cryo)."""
     if fr is None:
         fr = build_forcing(inp, md)
     if dm is None:
@@ -87,18 +94,26 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
         return buf
 
     ne = md.num_ele
-    zeros = np.zeros(ne)
+    if cryo is not None:
+        from shud_tpu.core.cryo import cryo_step
+
+        cryo, fu_surf, fu_sub = cryo_step(cryo, cf.temp, t, *cryo_bounds)
+        fu_surf = np.asarray(fu_surf)
+        fu_sub = np.asarray(fu_sub)
+    else:
+        fu_surf = fu_sub = np.ones(ne)
+    bc = fr.bc_values(md, t)
     fs_cell = {
         "net_prcp": blocks(out.net_prcp), "prcp": blocks(cf.prcp),
         "pot_evap": blocks(cf.pot_evap), "pot_tran": blocks(cf.pot_tran),
         "e_ic": blocks(out.e_ic), "lai": blocks(cf.lai),
-        "fu_surf": blocks(np.ones(ne)), "fu_sub": blocks(np.ones(ne)),
-        "ele_ybc": blocks(zeros), "ele_qbc": blocks(zeros),
-        "ele_qss": blocks(zeros),
+        "fu_surf": blocks(fu_surf), "fu_sub": blocks(fu_sub),
+        "ele_ybc": blocks(bc["ele_ybc"]), "ele_qbc": blocks(bc["ele_qbc"]),
+        "ele_qss": blocks(bc["ele_qss"]),
     }
-    zr = np.zeros(md.num_riv)
-    fs_riv = {"riv_ybc": riv_blocks(sm, zr), "riv_qbc": riv_blocks(sm, zr)}
-    return fs_cell, fs_riv, out.state
+    fs_riv = {"riv_ybc": riv_blocks(sm, bc["riv_ybc"]),
+              "riv_qbc": riv_blocks(sm, bc["riv_qbc"])}
+    return fs_cell, fs_riv, out.state, cryo
 
 
 # make_sharded_rhs returns a fresh closure each call; reuse it per ShardedMesh
@@ -133,7 +148,7 @@ def sharded_window_step(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
     def put_rep(v):
         return jax.device_put(jnp.asarray(v), rep_sh)
 
-    fs_cell, fs_riv, _ = compute_forcing_blocks(inp, md, sm, t0, tout)
+    fs_cell, fs_riv, _, _ = compute_forcing_blocks(inp, md, sm, t0, tout)
     fs_cell = {k: put_cell(v) for k, v in fs_cell.items()}
     fs_riv = {k: put_cell(v) for k, v in fs_riv.items()}
     params_dev = place_params(mesh, params)
@@ -189,6 +204,15 @@ class ShardedSimulation:
         ic0, snow0 = initial_buckets(inp, md)
         self.buckets = BucketState(ic_stg=jnp.asarray(ic0),
                                    snow=jnp.asarray(snow0))
+        gc = inp.calib
+        self.cryo = None
+        self.cryo_bounds = (gc.fzn_surfmax, gc.fzn_surfmin,
+                            gc.fzn_submax, gc.fzn_submin)
+        if cs.cryosphere:
+            from shud_tpu.core.cryo import cryo_init
+
+            self.cryo = cryo_init(md.num_ele, int(gc.fzn_surfday),
+                                  int(gc.fzn_subday), jnp.float64)
         ys = shard_state(self.sm, initial_state(inp, md))
         y_dev = {
             "sf": self._put_cell(ys["sf"]), "us": self._put_cell(ys["us"]),
@@ -218,11 +242,13 @@ class ShardedSimulation:
         """Advance the sharded solver to ``tout``; returns nothing (state
         updates in place).  Buckets advance host-side, as the reference's
         explicit ET step does."""
-        fs_cell, fs_riv, new_buckets = compute_forcing_blocks(
+        fs_cell, fs_riv, new_buckets, new_cryo = compute_forcing_blocks(
             self.inp, self.md, self.sm, self.t, tout,
             buckets=self.buckets, fr=self.fr, dm=self.dm,
+            cryo=self.cryo, cryo_bounds=self.cryo_bounds,
         )
         self.buckets = new_buckets
+        self.cryo = new_cryo
         fs_cell = {k: self._put_cell(v) for k, v in fs_cell.items()}
         fs_riv = {k: self._put_cell(v) for k, v in fs_riv.items()}
         self.state = solve_to(self.rhs_fn, self.state, tout,

@@ -560,6 +560,13 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
                 f"ppermute error)"
             )
         devices = np.array(avail[: sm.p])
+    elif len(np.asarray(devices).ravel()) < sm.p:
+        raise ValueError(
+            f"partition has {sm.p} shards but only "
+            f"{len(np.asarray(devices).ravel())} device(s) were passed "
+            f"explicitly (an undersized mesh would fail later with an "
+            f"opaque ppermute error)"
+        )
     mesh = Mesh(devices, (AXIS,))
     plan = sm.plan
 

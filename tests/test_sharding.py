@@ -300,3 +300,91 @@ def test_undersized_device_mesh_fails_fast(ccw, monkeypatch):
     monkeypatch.setattr(shmod.jax, "devices", lambda *a, **k: one)
     with pytest.raises(ValueError, match="4 shards but only 1"):
         make_sharded_rhs(sm)
+
+
+def _bc_cryo_project():
+    """Synthetic watershed with every BC/SS class active and cryosphere on
+    (the configuration the sharded runtime used to silently ignore —
+    VERDICT r3 'What's missing' 1-2; reference semantics
+    MD_update.cpp:102-189 + MD_ET.cpp:301-311)."""
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(16, 8, end_day=1.0)
+    # cold forcing: partial surface freezing under the default calib ramp
+    # (surf_max=-1, surf_min=-5 -> fu_surf = 0.5 at -3 C)
+    inp.forc.data[0][:, 1] = -3.0
+    inp.att[10, 6] = 1    # element head (Dirichlet) BC, series column 1
+    inp.att[40, 6] = -1   # element flux (Neumann) BC, column 1
+    inp.att[70, 7] = 1    # element source/sink series, column 1
+    inp.riv[2, 5] = 1     # river stage BC
+    inp.riv[5, 5] = -1    # river flux BC
+    bt = np.array([0.0, 720.0])
+    inp.bc = {
+        "ele_y": (bt, np.array([[6.0], [6.5]])),
+        "ele_q": (bt, np.array([[0.05], [0.02]])),
+        "ele_ss": (bt, np.array([[0.03], [0.06]])),
+        "riv_y": (bt, np.array([[0.8], [0.6]])),
+        "riv_q": (bt, np.array([[0.2], [0.1]])),
+    }
+    inp.control.cryosphere = 1
+    return inp
+
+
+def test_sharded_bc_cryo_trajectory(eight_devices):
+    """Physics parity of the multi-chip path: ShardedSimulation over 4
+    shards vs the single-chip fused driver on a project WITH BC/SS time
+    series and cryosphere enabled — the configurations the sharded runtime
+    previously hardcoded to zeros/ones."""
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.driver.fused import FusedSimulation
+    from shud_tpu.parallel.runtime import ShardedSimulation
+
+    inp = _bc_cryo_project()
+    md = build_mesh(inp)
+    ssim = ShardedSimulation(inp, md, p=4)
+    assert ssim.cryo is not None
+
+    fsim = FusedSimulation.create("syn", inp=_bc_cryo_project(),
+                                  pallas_edges=False, mega=False)
+    for w in range(6):
+        ssim.advance_window((w + 1) * 10.0)
+    fsim.advance_interval(60.0)
+
+    y_sh = ssim.y_full()
+    y_sd = fsim.y_np()
+    d = np.abs(y_sh - y_sd).max()
+    assert d < 1e-5, f"sharded vs fused BC+cryo trajectory diverged: {d}"
+
+    # the BC/cryo inputs actually took effect (this must not be a
+    # zeros-vs-zeros comparison): an identical run with the BC series
+    # zeroed and cryosphere off lands on a materially different state
+    inp0 = _bc_cryo_project()
+    inp0.control.cryosphere = 0
+    inp0.forc.data[0][:, 1] = 15.0
+    for k in inp0.bc:
+        ts, vals = inp0.bc[k]
+        inp0.bc[k] = (ts, np.zeros_like(vals))
+    md0 = build_mesh(inp0)
+    ssim0 = ShardedSimulation(inp0, md0, p=4)
+    for w in range(6):
+        ssim0.advance_window((w + 1) * 10.0)
+    assert np.abs(y_sh - ssim0.y_full()).max() > 1e-3, \
+        "BC series + cryosphere had no effect on the sharded trajectory"
+
+    # head-BC semantics: dgw=0 at the Dirichlet cell (MD_update.cpp), so
+    # its state coordinate stays at the IC while the basin drains
+    ne = md.num_ele
+    from shud_tpu.driver.init import initial_state
+
+    y0 = initial_state(inp, md)
+    assert abs(y_sh[2 * ne + 10] - y0[2 * ne + 10]) < 1e-12
+    # frozen fractions reached the sharded RHS: fu_surf < 1 after window 1
+    fs_cell, _, _, _ = __import__(
+        "shud_tpu.parallel.runtime", fromlist=["compute_forcing_blocks"]
+    ).compute_forcing_blocks(
+        inp, md, ssim.sm, ssim.t, ssim.t + 10.0, buckets=ssim.buckets,
+        fr=ssim.fr, dm=ssim.dm, cryo=ssim.cryo,
+        cryo_bounds=ssim.cryo_bounds,
+    )
+    fu = np.asarray(fs_cell["fu_surf"])[np.asarray(ssim.sm.valid)]
+    assert fu.max() < 0.999, "cryosphere frozen fraction never materialised"

@@ -75,6 +75,13 @@ def main():
     ap.add_argument("--warmup", type=float, default=0.0,
                     help="spin-up days excluded from the NSE score "
                          "(simulated but not fitted)")
+    ap.add_argument("--wb-penalty", type=float, default=0.0,
+                    help="multi-objective water-balance term: subtract "
+                         "LAMBDA*max(0,(AET-P)/P) from the NSE score, "
+                         "where AET/P are basin means over the window — "
+                         "rejects the effective-parameter regime that "
+                         "sustains AET > precipitation by storage "
+                         "drawdown (docs/VALIDATION.md round-3 note)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("-o", "--output", default=None,
                     help="directory for the optimised calib "
@@ -152,10 +159,15 @@ def main():
         wpd = int(round(1440.0 / sim.inp.control.solver_step))
         budget = int(args.nfe_budget_per_day) * ndays
         qd = np.zeros(ndays)
+        area = np.asarray(md.area)
+        aet_sum = p_sum = 0.0  # basin m3/min, day-weighted
         d0 = 0
         while d0 < ndays:
             nd = min(chunk, ndays - d0)
-            _, _, _, qdowns = sim.advance_interval(nd * 1440.0)
+            mean_e, _, _, qdowns = sim.advance_interval(nd * 1440.0)
+            if args.wb_penalty:
+                aet_sum += float(np.asarray(mean_e["eta"]) @ area) * nd
+                p_sum += float(np.asarray(mean_e["prcp"]) @ area) * nd
             qn = np.asarray(qdowns)[:, outlet].sum(axis=1)
             qd[d0 : d0 + nd] = np.abs(qn).reshape(nd, wpd).mean(axis=1)
             d0 += nd
@@ -171,10 +183,19 @@ def main():
         sim_daily = qd * 1440.0  # m3/min window samples -> m3/day
         w0 = int(args.warmup)
         score = nse(sim_daily[w0:], obs_daily[w0:])
+        wb_note = ""
+        if args.wb_penalty:
+            tot_area = area.sum()
+            aet_mm = aet_sum / ndays * 1440e3 / tot_area
+            p_mm = p_sum / ndays * 1440e3 / tot_area
+            pen = args.wb_penalty * max(0.0, (aet_mm - p_mm) / max(p_mm, 1e-9))
+            score -= pen
+            wb_note = (f"  AET={aet_mm:.2f} P={p_mm:.2f} mm/d"
+                       + (f" pen={pen:.3f}" if pen > 0 else ""))
         n_eval[0] += 1
         print(f"    eval {n_eval[0]}: " +
               " ".join(f"{n}={v:.3f}" for n, v in zip(names, x)) +
-              f"  NSE={score:.4f}", flush=True)
+              f"  NSE={score:.4f}{wb_note}", flush=True)
         if args.best_file and score > best_seen[0]:
             best_seen[0] = score
             with open(args.best_file, "w") as f:

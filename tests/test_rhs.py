@@ -100,7 +100,7 @@ def test_rhs_synthetic(project, request):
         _check_case(g, f"syn{k}", dm, has_lake=True)
 
 
-@pytest.mark.parametrize("project", ["ccw", "qhh"])
+@pytest.mark.parametrize("project", ["ccw", "qhh", "heihe"])
 def test_rhs_forced(project, request):
     g = request.getfixturevalue(f"golden_{project}")
     _, _, dm = request.getfixturevalue(project)
@@ -108,7 +108,7 @@ def test_rhs_forced(project, request):
         _check_case(g, f"rhs{k}", dm, has_lake=True)
 
 
-@pytest.mark.parametrize("project", ["ccw", "qhh"])
+@pytest.mark.parametrize("project", ["ccw", "qhh", "heihe"])
 def test_fast_path_matches_exact(project, request):
     """The production gather strategy (stacked single gather + dz-based head
     differences) must match the exact-parity path to f64 re-association

@@ -55,11 +55,58 @@ FORC_FIELDS = [
 ]
 
 
+def _heihe_patched_ws() -> str:
+    """Workspace with heihe's tsd.lai padded to 14 data columns.
+
+    Upstream heihe is malformed: `.sp.att` references land-cover types
+    13/14 but `tsd.lai` ships only 11 data columns, so the reference's
+    own forcing path reads out of bounds (TimeSeriesData::getX).  The
+    TPU loader clamps the LC index to the last available column
+    (landsurface.py); padding the missing columns with copies of the
+    LAST column makes the reference read exactly what the clamp reads,
+    so forced-RHS fixtures can be generated for heihe too."""
+    ws = "/tmp/oracle/ws_heihe"
+    src = "/root/reference/input/heihe"
+    d = os.path.join(ws, "input", "heihe")
+    os.makedirs(d, exist_ok=True)
+    os.makedirs(os.path.join(ws, "output"), exist_ok=True)
+    for fn in os.listdir(src):
+        dst = os.path.join(d, fn)
+        if fn in ("heihe.tsd.lai", "heihe.cfg.para") or os.path.lexists(dst):
+            continue
+        os.symlink(os.path.join(src, fn), dst)
+    # second upstream malformation: cfg.para END (9861 d) exceeds the
+    # forcing coverage (9496 d), tripping the reference's own
+    # validateTimeStamps fail-fast; the fixtures only need day <= 201
+    with open(os.path.join(src, "heihe.cfg.para")) as f:
+        para = f.read().splitlines()
+    para = ["END\t400" if ln.split() and ln.split()[0].upper() == "END"
+            else ln for ln in para]
+    with open(os.path.join(d, "heihe.cfg.para"), "w") as f:
+        f.write("\n".join(para) + "\n")
+    with open(os.path.join(src, "heihe.tsd.lai")) as f:
+        lines = f.read().splitlines()
+    nrow, ncol_old, *rest = lines[0].split()
+    ncol = 14
+    out = [" ".join([nrow, str(ncol)] + rest)]
+    hdr = lines[1].split()
+    out.append("\t".join(hdr + [f"Xp{j}" for j in range(ncol - len(hdr) + 1)]))
+    for ln in lines[2:]:
+        v = ln.split()
+        if not v:
+            continue
+        out.append("\t".join(v + [v[-1]] * (ncol + 1 - len(v))))
+    with open(os.path.join(d, "heihe.tsd.lai"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    return ws
+
+
 def gen_project(project: str) -> None:
     sys.path.insert(0, REPO)
-    from tools.oracle import Oracle
+    from tools.oracle import Oracle, WS_PATH
 
-    o = Oracle(project)
+    ws = _heihe_patched_ws() if project == "heihe" else WS_PATH
+    o = Oracle(project, ws=ws)
     ne, nr, ns, nl = o.ne, o.nr, o.ns, o.nl
     rng = np.random.default_rng(42)
 
@@ -129,8 +176,6 @@ def gen_project(project: str) -> None:
     times = [0.0, 360.0, 1440.0 * 30 + 60.0, 1440.0 * 30 + 720.0,
              1440.0 * 200 + 600.0]
     dt = 10.0
-    if project == "heihe":
-        times = []  # forcing path unreadable by the reference itself
     for k, t in enumerate(times):
         o.update_forcing(t)
         for f in FORC_FIELDS:
@@ -177,8 +222,6 @@ def gen_project(project: str) -> None:
 
     # ---- solar samples ----
     ts = np.arange(0.0, 4320.0, 37.0)
-    if project == "heihe":
-        ts = np.zeros(0)
     sol = np.array([o.solar(t, 39.195, -122.71) for t in ts]).reshape(-1, 3)
     out["solar/t"] = ts
     out["solar/cosz"] = sol[:, 0]

@@ -139,7 +139,8 @@ def main(argv=None):
                             end_day=args.end_day, verbose=not args.quiet,
                             outpath=args.output,
                             float_dtype=jnp.float32 if args.f32 else None,
-                            use_pallas=bool(args.pallas and args.f32))
+                            use_pallas=bool(args.pallas and args.f32),
+                            resume=args.resume, calib=calib)
         return
 
     if args.split:

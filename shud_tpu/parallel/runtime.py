@@ -116,6 +116,48 @@ def compute_forcing_blocks(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
     return fs_cell, fs_riv, out.state, cryo
 
 
+# interval accumulator layout (window-end samples summed over windows;
+# interval means = /n, matching the fused driver's Print_Ctrl semantics)
+_ACC_BLK = ("q_rech", "q_sub_tot", "q_surf_tot", "q_e2r_sub", "q_e2r_surf",
+            "q_infil", "q_exfil", "e_ic", "trans", "evapo", "eta",
+            "y_surf", "y_unsat", "y_gw")
+_ACC_RIV = ("q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf", "y_riv")
+_ACC_LAKE = ("y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
+             "q_lake_rivin", "q_lake_surf", "q_lake_sub")
+_ACC_DENSE = ("prcp", "net_prcp", "etp", "rn_h", "rn_t", "rn_factor",
+              "y_ic", "y_snow")
+
+
+def _accum_interval(tree, diag, extras, y, buckets):
+    """One window's contribution to the interval accumulators (jitted)."""
+    b = tree["blk"]
+    blk = {
+        k: b[k] + diag[k]
+        for k in ("q_rech", "q_sub_tot", "q_surf_tot", "q_e2r_sub",
+                  "q_e2r_surf", "q_infil", "q_exfil", "e_ic")
+    }
+    blk["trans"] = b["trans"] + diag["tu"] + diag["tg"]
+    blk["evapo"] = b["evapo"] + diag["es"] + diag["eu"] + diag["eg"]
+    blk["eta"] = (b["eta"] + diag["e_ic"] + diag["es"] + diag["eu"]
+                  + diag["eg"] + diag["tu"] + diag["tg"])
+    blk["y_surf"] = b["y_surf"] + y["sf"]
+    blk["y_unsat"] = b["y_unsat"] + y["us"]
+    blk["y_gw"] = b["y_gw"] + y["gw"]
+    edge = {k: tree["edge"][k] + diag[k] for k in ("q_esub", "q_esurf")}
+    riv = {k: tree["riv"][k] + diag[k] for k in _ACC_RIV if k != "y_riv"}
+    riv["y_riv"] = tree["riv"]["y_riv"] + y["riv"]
+    lake = {k: tree["lake"][k] + diag[k] for k in _ACC_LAKE
+            if k != "y_lake"}
+    lake["y_lake"] = tree["lake"]["y_lake"] + y["lake"]
+    d = tree["dense"]
+    dense = {k: d[k] + extras[k] for k in _ACC_DENSE
+             if k not in ("y_ic", "y_snow")}
+    dense["y_ic"] = d["y_ic"] + buckets.ic_stg
+    dense["y_snow"] = d["y_snow"] + buckets.snow
+    return {"blk": blk, "edge": edge, "riv": riv, "lake": lake,
+            "dense": dense}
+
+
 # make_sharded_rhs returns a fresh closure each call; reuse it per ShardedMesh
 # so solve_to's jit cache hits across windows (stable function identity).
 _RHS_CACHE: dict[tuple, tuple] = {}
@@ -129,16 +171,71 @@ def _cached_sharded_rhs(sm: ShardedMesh, float_dtype=None,
         _RHS_CACHE[key] = (
             sm,
             make_sharded_rhs(sm, float_dtype=float_dtype,
-                             use_pallas=use_pallas),
+                             use_pallas=use_pallas, with_diag=True),
         )
     return _RHS_CACHE[key][1]
+
+
+def _window_forcing_impl(dm, sv, station_z, lai, mf, sx, sy, sz, wdt, den,
+                         rad_cap, rad_cosz_min, cal, buckets, dt_min,
+                         cryo_state, t, cryo_bounds, bc_dense,
+                         idx, valid, rividx, rivvalid,
+                         swnet_mode, et_mode, cryo_on, fd,
+                         terrain_radiation=True):
+    """Whole-window forcing transform ON DEVICE, blocks included.
+
+    The round-3 path rebuilt the forcing blocks host-side every window
+    (numpy scatter + per-field device_put) — per-window host latency the
+    single-chip driver had already eliminated (docs/PERF.md
+    "Production-loop host round-trips").  Everything here runs in one jit:
+    TSR factor → PET/forcing transform → bucket update → cryosphere step →
+    BC overlay → ONE gather per field into the [P, Np] shard blocks."""
+    if terrain_radiation:
+        fac = solar_mod.tsr_factor(dm.nx, dm.ny, dm.nz, sx, sy, sz, wdt,
+                                   den, rad_cap, rad_cosz_min)
+    else:
+        fac = jnp.ones_like(dm.nx)
+    cf = cell_forcing(dm, sv, station_z, lai, mf, fac, cal,
+                      swnet_mode=swnet_mode, et_mode=et_mode,
+                      terrain_radiation=terrain_radiation)
+    out = et_bucket_step(dm, cf, buckets, dt_min, cal.c_ismax)
+    if cryo_on:
+        from shud_tpu.core.cryo import cryo_step
+
+        cryo_state, fu_surf, fu_sub = cryo_step(
+            cryo_state, cf.temp, t,
+            cryo_bounds[0], cryo_bounds[1], cryo_bounds[2], cryo_bounds[3],
+        )
+    else:
+        fu_surf = fu_sub = jnp.ones_like(dm.nx)
+
+    def blocks(v):
+        return jnp.where(valid, jnp.asarray(v, fd)[idx], 0.0)
+
+    def rblocks(v):
+        return jnp.where(rivvalid, jnp.asarray(v, fd)[rividx], 0.0)
+
+    fs_cell = {
+        "net_prcp": blocks(out.net_prcp), "prcp": blocks(cf.prcp),
+        "pot_evap": blocks(cf.pot_evap), "pot_tran": blocks(cf.pot_tran),
+        "e_ic": blocks(out.e_ic), "lai": blocks(cf.lai),
+        "fu_surf": blocks(fu_surf), "fu_sub": blocks(fu_sub),
+        "ele_ybc": blocks(bc_dense["ele_ybc"]),
+        "ele_qbc": blocks(bc_dense["ele_qbc"]),
+        "ele_qss": blocks(bc_dense["ele_qss"]),
+    }
+    fs_riv = {"riv_ybc": rblocks(bc_dense["riv_ybc"]),
+              "riv_qbc": rblocks(bc_dense["riv_qbc"])}
+    extras = {"prcp": cf.prcp, "net_prcp": out.net_prcp, "etp": cf.etp,
+              "rn_h": cf.rn_h, "rn_t": cf.rn_t, "rn_factor": cf.rn_factor}
+    return fs_cell, fs_riv, out.state, cryo_state, extras
 
 
 def sharded_window_step(inp: ProjectInput, md: MeshData, sm: ShardedMesh,
                         ys: dict, t0: float, tout: float,
                         cfg: SolverConfig | None = None):
     """One solver window on the device mesh; returns the final BDFState."""
-    mesh, rhs_fn, params = _cached_sharded_rhs(sm)
+    mesh, rhs_fn, _diag_fn, params = _cached_sharded_rhs(sm)
     cell_sh = NamedSharding(mesh, P(AXIS))
     rep_sh = NamedSharding(mesh, P())
 
@@ -196,7 +293,7 @@ class ShardedSimulation:
         cs = inp.control
         self.cfg = cfg or SolverConfig(rtol=cs.reltol, atol=cs.abstol,
                                        h_init=cs.init_step, h_max=cs.max_step)
-        self.mesh, self.rhs_fn, params = _cached_sharded_rhs(
+        self.mesh, self.rhs_fn, self.diag_fn, params = _cached_sharded_rhs(
             self.sm, float_dtype=float_dtype, use_pallas=use_pallas)
         self.cell_sh = NamedSharding(self.mesh, P(AXIS))
         self.rep_sh = NamedSharding(self.mesh, P())
@@ -222,6 +319,47 @@ class ShardedSimulation:
         self.state = bdf_init(cs.start_time, y_dev, self.cfg)
         self.t = cs.start_time
 
+        # device-side forcing-block tables: one gather per field replaces
+        # the host-side numpy scatter + per-field device_put per window
+        sm_ = self.sm
+        idx = np.zeros((sm_.p, sm_.np_cells), np.int32)
+        idx[sm_.old_to_shard, sm_.old_to_slot] = np.arange(md.num_ele)
+        rividx = np.zeros((sm_.p, sm_.nr_riv), np.int32)
+        rivvalid = np.zeros((sm_.p, sm_.nr_riv), bool)
+        if md.num_riv:
+            rividx[sm_.riv_owner, sm_.riv_slot_of] = np.arange(md.num_riv)
+            rivvalid[sm_.riv_owner, sm_.riv_slot_of] = True
+        put_c = lambda v: jax.device_put(jnp.asarray(v), self.cell_sh)  # noqa: E731
+        self._blk_idx = put_c(idx)
+        self._blk_valid = put_c(np.asarray(sm_.valid))
+        self._riv_idx = put_c(rividx)
+        self._riv_valid = put_c(rivvalid)
+        self._bc_zeros = {
+            "ele_ybc": jnp.zeros(md.num_ele), "ele_qbc": jnp.zeros(md.num_ele),
+            "ele_qss": jnp.zeros(md.num_ele),
+            "riv_ybc": jnp.zeros(md.num_riv), "riv_qbc": jnp.zeros(md.num_riv),
+        }
+        from functools import partial as _partial
+
+        cell_tree = {k: self.cell_sh for k in (
+            "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic", "lai",
+            "fu_surf", "fu_sub", "ele_ybc", "ele_qbc", "ele_qss")}
+        riv_tree = {"riv_ybc": self.cell_sh, "riv_qbc": self.cell_sh}
+        self._winforc = jax.jit(
+            _partial(_window_forcing_impl,
+                     swnet_mode=self.fr.swnet_mode,
+                     et_mode=int(self.fr.et_mode),
+                     cryo_on=bool(cs.cryosphere), fd=self.fd,
+                     terrain_radiation=self.fr.terrain_radiation),
+            out_shardings=(cell_tree, riv_tree, None, None, None),
+        )
+        if self.cryo is None:
+            from shud_tpu.core.cryo import cryo_init as _ci
+
+            self._cryo_dummy = _ci(1, 1, 1)
+        self._accum_fn = jax.jit(_accum_interval)
+        self._diag_jit = jax.jit(self.diag_fn)
+
     def _put_cell(self, v):
         import jax.numpy as jnp
 
@@ -238,22 +376,69 @@ class ShardedSimulation:
             v = v.astype(self.fd)
         return jax.device_put(v, self.rep_sh)
 
-    def advance_window(self, tout: float):
-        """Advance the sharded solver to ``tout``; returns nothing (state
-        updates in place).  Buckets advance host-side, as the reference's
-        explicit ET step does."""
-        fs_cell, fs_riv, new_buckets, new_cryo = compute_forcing_blocks(
-            self.inp, self.md, self.sm, self.t, tout,
-            buckets=self.buckets, fr=self.fr, dm=self.dm,
-            cryo=self.cryo, cryo_bounds=self.cryo_bounds,
+    def _forcing_dev(self, tout: float):
+        """Per-window forcing, entirely on device (one jit + tiny host
+        lookups); advances buckets and the cryosphere state."""
+        fr, t = self.fr, self.t
+        sv = jnp.asarray(fr.station_values(t))
+        sx, sy, sz, wdt, den = [jnp.asarray(a) for a in fr.tsr_sample(t)]
+        if fr.bc:
+            bc = {k: jnp.asarray(v)
+                  for k, v in fr.bc_values(self.md, t).items()}
+        else:
+            bc = self._bc_zeros
+        cryo = self.cryo if self.cryo is not None else self._cryo_dummy
+        fs_cell, fs_riv, buckets, cryo, extras = self._winforc(
+            self.dm, sv, jnp.asarray(fr.station_z),
+            jnp.asarray(fr.lai_at(t)), jnp.asarray(fr.mf_at(t)),
+            sx, sy, sz, wdt, den,
+            fr.rad_factor_cap, fr.rad_cosz_min, fr.cal, self.buckets,
+            tout - t, cryo, t, jnp.asarray(self.cryo_bounds), bc,
+            self._blk_idx, self._blk_valid, self._riv_idx, self._riv_valid,
         )
-        self.buckets = new_buckets
-        self.cryo = new_cryo
-        fs_cell = {k: self._put_cell(v) for k, v in fs_cell.items()}
-        fs_riv = {k: self._put_cell(v) for k, v in fs_riv.items()}
+        self.buckets = buckets
+        if self.cryo is not None:
+            self.cryo = cryo
+        return fs_cell, fs_riv, extras
+
+    def advance_window(self, tout: float, acc=None):
+        """Advance the sharded solver to ``tout``; state updates in place.
+
+        ``acc``: optional interval accumulator (``acc_zero``) — when given,
+        one extra diag RHS eval at the accepted state accumulates the full
+        output-channel set on device and the per-window river stage +
+        Qdown are stacked for flood alerting; returns the new acc."""
+        fs_cell, fs_riv, extras = self._forcing_dev(tout)
         self.state = solve_to(self.rhs_fn, self.state, tout,
                               self.params_dev + (fs_cell, fs_riv), self.cfg)
         self.t = tout
+        if acc is None:
+            return None
+        _, diag = self._diag_jit(tout, self.state.y,
+                                 self.params_dev + (fs_cell, fs_riv))
+        tree = self._accum_fn(acc["tree"], diag, extras, self.state.y,
+                              self.buckets)
+        stages = acc["stages"] + [self.state.y["riv"]]
+        qdowns = acc["qdowns"] + [diag["q_riv_down"]]
+        return {"tree": tree, "stages": stages, "qdowns": qdowns,
+                "n": acc["n"] + 1}
+
+    def acc_zero(self):
+        """Fresh interval accumulator (device zeros in the block layout)."""
+        sm, md, fd = self.sm, self.md, self.fd
+        zb = jnp.zeros((sm.p, sm.np_cells), dtype=fd)
+        ze = jnp.zeros((sm.p, sm.np_cells, 3), dtype=fd)
+        zr = jnp.zeros((sm.p, sm.nr_riv), dtype=fd)
+        zl = jnp.zeros((md.num_lake,), dtype=fd)
+        zd = jnp.zeros((md.num_ele,))
+        tree = {
+            "blk": {k: zb for k in _ACC_BLK},
+            "edge": {k: ze for k in ("q_esub", "q_esurf")},
+            "riv": {k: zr for k in _ACC_RIV},
+            "lake": {k: zl for k in _ACC_LAKE},
+            "dense": {k: zd for k in _ACC_DENSE},
+        }
+        return {"tree": tree, "stages": [], "qdowns": [], "n": 0}
 
     def y_full(self) -> np.ndarray:
         """Gather the global state vector to host (reference Y layout)."""
@@ -262,6 +447,20 @@ class ShardedSimulation:
         y = self.state.y
         return unshard_state(self.sm, {k: np.asarray(v)
                                        for k, v in y.items()})
+
+    @property
+    def bdf(self):
+        """Solver-state alias so io/checkpoint.py works unchanged."""
+        return self.state
+
+    @bdf.setter
+    def bdf(self, st):
+        def place(v):
+            v = jnp.asarray(v)
+            sh = self.cell_sh if v.ndim >= 2 else self.rep_sh
+            return jax.device_put(v, sh)
+
+        self.state = jax.tree_util.tree_map(place, st)
 
     @property
     def nfe(self) -> int:
@@ -279,27 +478,42 @@ class ShardedSimulation:
 def run_project_sharded(project: str, base: str = ".", p: int | None = None,
                         end_day: float | None = None, verbose: bool = True,
                         outpath: str | None = None, float_dtype=None,
-                        use_pallas: bool = False, **overrides):
-    """Full sharded run with state outputs, restart snapshots and time log —
-    ``./shud <prj>`` over a P-device mesh.  ``float_dtype=jnp.float32`` +
-    ``use_pallas=True`` runs the per-shard fused edge kernel."""
+                        use_pallas: bool = False, resume: str | None = None,
+                        inp=None, calib=None, **overrides):
+    """Multi-chip production driver: ``./shud <prj>`` over a P-device mesh
+    with the FULL output stack of the single-chip driver (run_fast.py) —
+    every Print_Ctrl channel run_fast registers, flood alert, basin
+    water-balance budget, reference-format restart + binary checkpoint,
+    time log — and ONE batched ``jax.device_get`` per output interval
+    (channel means, flood stages, state, counters all ride one fetch).
+
+    ``float_dtype=jnp.float32`` + ``use_pallas=True`` runs the per-shard
+    fused edge kernel.  Reference: the C++ driver applies the identical
+    output subsystem under its OpenMP mode (Model_Control.cpp:930-962,
+    FloodAlert.cpp:115-131)."""
+    import os as _os
     import time as _time
 
-    import jax.numpy as jnp
-
-    from shud_tpu.io.output import PrintCtrl, TimeLog, write_restart
-    from shud_tpu.io.project import load_project
     from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.diag.waterbalance import WaterBalance
+    from shud_tpu.driver.run_fast import IntervalWriter
+    from shud_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from shud_tpu.io.output import FloodAlert, TimeLog, write_restart
+    from shud_tpu.io.project import load_project, write_calib
+    from shud_tpu.io.validate import check_input
+    from shud_tpu.utils.errors import NanError
+    from shud_tpu.utils.timectx import TimeContext
 
-    inp = load_project(project, base=base)
+    if inp is None:
+        inp = load_project(project, base=base)
+    if calib is not None:
+        inp.calib = calib
     if end_day is not None:
         inp.control.day_end = end_day
     for k, v in overrides.items():
         setattr(inp.control, k, v)
     if outpath:
         inp.paths.outpath = outpath
-    from shud_tpu.io.validate import check_input
-
     check_input(inp)
     md = build_mesh(inp)
     if p is None:
@@ -308,58 +522,133 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
             p -= 1  # largest power of two <= device count
     sim = ShardedSimulation(inp, md, p, float_dtype=float_dtype,
                             use_pallas=use_pallas)
+    if resume:
+        load_checkpoint(resume, sim)
+        if verbose:
+            print(f"resumed from {resume} at t={sim.t/1440.0:.2f} days")
     cs = inp.control
     paths = inp.paths
+    sm = sim.sm
     ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     t_end = cs.end_time if end_day is None else end_day * 1440.0
-    import os as _os
-
     _os.makedirs(paths.outpath, exist_ok=True)
-    start = inp.forc.start_yyyymmdd
-    interval = cs.dt_ye_gw or 1440
-    chans = []
-    for name, sl in (("eleysurf", slice(0, ne)),
-                     ("eleyunsat", slice(ne, 2 * ne)),
-                     ("eleygw", slice(2 * ne, 3 * ne)),
-                     ("rivystage", slice(3 * ne, 3 * ne + nr))):
-        n = sl.stop - sl.start
-        chans.append((PrintCtrl(_os.path.join(
-            paths.outpath, f"{paths.project}.{name}"), start,
-            int(interval), False, n), sl))
-    if nl:
-        chans.append((PrintCtrl(_os.path.join(
-            paths.outpath, f"{paths.project}.lakystage"), start,
-            int(interval), False, nl), slice(3 * ne + nr, 3 * ne + nr + nl)))
+
+    writer = IntervalWriter(sim)
+    interval = writer.interval
+    flood = FloodAlert(
+        _os.path.join(paths.outpath, f"{paths.project}.flood.csv"),
+        md.riv_depth,
+    )
     tlog = TimeLog(_os.path.join(paths.outpath, f"{paths.project}.time.csv"))
+    wb = WaterBalance(
+        md, _os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv")
+    )
+    write_calib(inp.calib,
+                _os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
     paths.save_project_file()
 
+    def uc(b):  # unshard a [P, Np(,3)] cell block
+        return np.asarray(b)[sm.old_to_shard, sm.old_to_slot]
+
+    def ur(b):
+        b = np.asarray(b)
+        return (b[sm.riv_owner, sm.riv_slot_of] if nr
+                else b.reshape(0))
+
+    def _fetch(acc=None):
+        """ONE batched device->host transfer per interval."""
+        tree = {"y": sim.state.y, "ic": sim.buckets.ic_stg,
+                "snow": sim.buckets.snow, "nfe": sim.state.nfe}
+        if acc is not None:
+            tree["acc"] = acc["tree"]
+            tree["stages"] = acc["stages"]
+            tree["qdowns"] = acc["qdowns"]
+        return jax.device_get(tree)
+
+    def _dense_y(host):
+        yb = host["y"]
+        return np.concatenate([
+            uc(yb["sf"]), uc(yb["us"]), uc(yb["gw"]), ur(yb["riv"]),
+            np.asarray(yb["lake"]),
+        ])
+
+    def _means(host, n):
+        a = host["acc"]
+        mean_e = {k: uc(v) / n for k, v in a["blk"].items()}
+        mean_e.update({k: np.asarray(v) / n for k, v in a["dense"].items()})
+        for j in range(3):
+            mean_e[f"q_esub{j}"] = uc(a["edge"]["q_esub"])[:, j] / n
+            mean_e[f"q_esurf{j}"] = uc(a["edge"]["q_esurf"])[:, j] / n
+        mean_r = {k: ur(v) / n for k, v in a["riv"].items()}
+        mean_l = {k: np.asarray(v) / n for k, v in a["lake"].items()}
+        return mean_e, mean_r, mean_l
+
+    host = _fetch()
+    y_host = _dense_y(host)
+    write_restart(
+        _os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
+        host["ic"], host["snow"],
+        y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
+        y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
+    )
+
+    tc = TimeContext(inp.forc.start_yyyymmdd)
     wall0 = _time.time()
-    step = cs.solver_step
-    last_nfe = 0
+    cpu0 = _time.process_time()
+    last_nfe = int(host["nfe"])
+    win = cs.solver_step
     while sim.t < t_end - 1e-9:
-        tout = min(sim.t + step, t_end)
-        sim.advance_window(tout)
-        y = sim.y_full()
-        for pc, sl in chans:
-            pc.push(sim.t, y[sl])
-        if abs(sim.t % interval) < 1e-6 or sim.t >= t_end - 1e-9:
-            nfe = sim.nfe
-            wall = _time.time() - wall0
-            tlog.write(sim.t, 100.0 * sim.t / t_end,
-                       _time.process_time(), wall, nfe - last_nfe)
+        this_int = min(interval, t_end - sim.t)
+        y0 = y_host
+        bk0 = (host["ic"], host["snow"])
+        t0 = sim.t
+        acc = sim.acc_zero()
+        while sim.t < t0 + this_int - 1e-9:
+            acc = sim.advance_window(
+                min(sim.t + win, t0 + this_int), acc)
+        host = _fetch(acc)
+        y_host = _dense_y(host)
+        mean_e, mean_r, mean_l = _means(host, acc["n"])
+        writer.write(sim.t, mean_e, mean_r, mean_l)
+        for w in range(acc["n"]):
+            flood.check(t0 + (w + 1) * win, ur(host["stages"][w]),
+                        ur(host["qdowns"][w]))
+        wb.interval(t0, sim.t, y0, y_host, mean_e, mean_r,
+                    buckets0=bk0, buckets1=(host["ic"], host["snow"]),
+                    mean_lake=mean_l)
+        nfe = int(host["nfe"])
+        perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
+        if verbose:
+            print(f"{tc.iso(sim.t)}\t{sim.t/1440.0:8.2f} day\t{perc:6.2f}%"
+                  f"\t{_time.time()-wall0:8.2f} s\t{nfe - last_nfe}"
+                  f"\t({p} shards)", flush=True)
+        tlog.write(sim.t, perc, _time.process_time() - cpu0,
+                   _time.time() - wall0, nfe - last_nfe)
+        last_nfe = nfe
+        if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
+            if not np.isfinite(y_host).all():
+                bad = int(np.flatnonzero(~np.isfinite(y_host))[0])
+                raise NanError(
+                    f"non-finite state at t={sim.t:.1f} min (index {bad})"
+                )
             write_restart(
                 _os.path.join(paths.outpath,
                               f"{paths.project}.cfg.ic.update"),
-                sim.t, np.asarray(sim.buckets.ic_stg),
-                np.asarray(sim.buckets.snow),
-                y[:ne], y[ne:2 * ne], y[2 * ne:3 * ne],
-                y[3 * ne:3 * ne + nr], y[3 * ne + nr:] if nl else None,
+                sim.t, host["ic"], host["snow"],
+                y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
+                y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
             )
-            if verbose:
-                print(f"day {sim.t/1440:8.2f}  ({p} shards)  "
-                      f"nfe {nfe}  wall {wall:.1f}s", flush=True)
-            last_nfe = nfe
-    for pc, _sl in chans:
-        pc.close()
+            save_checkpoint(
+                _os.path.join(paths.outpath, f"{paths.project}.ckpt.npz"),
+                sim,
+            )
+    writer.close()
+    flood.close()
     tlog.close()
+    wb.close()
+    if verbose:
+        b = sim.state
+        print(f"\nFinal stats: nsteps={int(b.nsteps)} nfe={int(b.nfe)} "
+              f"netf={int(b.nfails)} ncfn={int(b.nnifails)}; wall "
+              f"{_time.time()-wall0:.1f} s")
     return sim

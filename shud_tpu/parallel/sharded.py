@@ -206,7 +206,8 @@ def _edge_stencil_pallas(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
 
 def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
                y_local, fs_local, fs_riv, close_boundary: bool,
-               pk=None):
+               pk=None, parts=("ele", "edge", "seg", "riv"),
+               want_diag: bool = False):
     """RHS for one shard's cell + river blocks (runs inside shard_map).
 
     ``pk``: optional ``(EdgeBlocks, interpret)`` Pallas kit — when given,
@@ -214,7 +215,14 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     (core/pallas_edge.py) on this shard's local block, and only the
     O(edge-cut) remainder (cross-shard + lake-bank edges) is evaluated in
     XLA on the compact halo lists (``halo["rmt_*"]`` / ``halo["lke_*"]``)
-    and mask-merged — no dense neighbour gather remains (f32 only)."""
+    and mask-merged — no dense neighbour gather remains (f32 only).
+
+    ``parts``: profiling ablation (tools/profile_sharded.py) — drop
+    "edge"/"seg"/"riv" to replace that stencil's fluxes with zeros and
+    time the remaining dataflow; production always runs the full set."""
+    do_edge = "edge" in parts
+    do_seg = "seg" in parts
+    do_riv = "riv" in parts
     sf, us, gw_raw = y_local["sf"], y_local["us"], y_local["gw"]
     riv_y = y_local["riv"]
     lake_stg = y_local["lake"]
@@ -266,7 +274,11 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     ghost_c, ghost_r = _halo_forward(plan, halo, exports_c, riv_stage)
 
     np_cells = sf.shape[0]
-    if pk is not None:
+    if not do_edge:
+        q_esurf = jnp.zeros((np_cells, 3), dtype=sf.dtype)
+        q_esub0 = jnp.zeros((np_cells, 3), dtype=sf.dtype)
+        lk_surf_loc = lk_sub_loc = jnp.zeros((nl,), dtype=sf.dtype)
+    elif pk is not None:
         # ---- fused Pallas edge kernel + compact XLA remainder ----
         q_esurf, q_esub0, lk_surf_loc, lk_sub_loc = _edge_stencil_pallas(
             pk, halo, lake_tbl, ghost_c, sf, gw, cu.eff_kh, lake_stg, nl,
@@ -377,68 +389,79 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
         q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
 
     # ---- segments (local elements; river stage local or from the halo) ----
-    se = seg["ele_slot"]
-    sval = seg["valid"]
-    seg_stage = jnp.where(
-        seg["riv_local"], riv_stage[seg["riv_slot"]], ghost_r[seg["riv_gpos"]]
-    )
-    seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
-    # local-datum form (identical to rhs_full's low_prec branch): subtract
-    # z_surf (weir) / z_bottom (bed Darcy) — algebraically identical in
-    # f64, f32-safe against km-scale elevations
-    zero_e = jnp.zeros_like(seg_isf)
-    q_seg_surf = ph.weir_flow_jtoi(
-        zero_e, seg_isf, -seg["rdepth"], seg_stage,
-        zero_e, seg["cwr"], seg["length"], m.depression[se],
-    )
-    q_seg_sub = ph.flux_r2e_gw(
-        seg_stage, m.aq_depth[se] - seg["rdepth"], gw[se], zero_e,
-        cu.eff_kh[se], seg["rksat"], seg["length"], seg["rbed"],
-    ) * fs_local["fs"].fu_sub[se]
-    q_seg_surf = jnp.where(sval, q_seg_surf, 0.0)
-    q_seg_sub = jnp.where(sval, q_seg_sub, 0.0)
-
     nr_local = riv_stage.shape[0]
+    se = seg["ele_slot"]
     sr_local = seg["riv_local"]
-    q_riv_surf = segment_sum(
-        jnp.where(sr_local, q_seg_surf, 0.0), seg["riv_slot"],
-        num_segments=nr_local,
-    )
-    q_riv_sub = segment_sum(
-        jnp.where(sr_local, q_seg_sub, 0.0), seg["riv_slot"],
-        num_segments=nr_local,
-    )
-    q_e2r_surf = segment_sum(-q_seg_surf, se, num_segments=np_cells)
-    q_e2r_sub = segment_sum(-q_seg_sub, se, num_segments=np_cells)
+    if do_seg:
+        sval = seg["valid"]
+        seg_stage = jnp.where(
+            sr_local, riv_stage[seg["riv_slot"]], ghost_r[seg["riv_gpos"]]
+        )
+        seg_isf = jnp.maximum(0.0, sf[se] - q_infil[se] + q_exfil[se])
+        # local-datum form (identical to rhs_full's low_prec branch):
+        # subtract z_surf (weir) / z_bottom (bed Darcy) — algebraically
+        # identical in f64, f32-safe against km-scale elevations
+        zero_e = jnp.zeros_like(seg_isf)
+        q_seg_surf = ph.weir_flow_jtoi(
+            zero_e, seg_isf, -seg["rdepth"], seg_stage,
+            zero_e, seg["cwr"], seg["length"], m.depression[se],
+        )
+        q_seg_sub = ph.flux_r2e_gw(
+            seg_stage, m.aq_depth[se] - seg["rdepth"], gw[se], zero_e,
+            cu.eff_kh[se], seg["rksat"], seg["length"], seg["rbed"],
+        ) * fs_local["fs"].fu_sub[se]
+        q_seg_surf = jnp.where(sval, q_seg_surf, 0.0)
+        q_seg_sub = jnp.where(sval, q_seg_sub, 0.0)
+
+        q_riv_surf = segment_sum(
+            jnp.where(sr_local, q_seg_surf, 0.0), seg["riv_slot"],
+            num_segments=nr_local,
+        )
+        q_riv_sub = segment_sum(
+            jnp.where(sr_local, q_seg_sub, 0.0), seg["riv_slot"],
+            num_segments=nr_local,
+        )
+        q_e2r_surf = segment_sum(-q_seg_surf, se, num_segments=np_cells)
+        q_e2r_sub = segment_sum(-q_seg_sub, se, num_segments=np_cells)
+    else:
+        q_seg_surf = q_seg_sub = jnp.zeros_like(seg["length"])
+        q_riv_surf = q_riv_sub = jnp.zeros_like(riv_stage)
+        q_e2r_surf = q_e2r_sub = jnp.zeros(np_cells, dtype=sf.dtype)
 
     # ---- river chain (owner-computed; downstream stage local or halo) ----
     has_down = riv["has_down"]
-    stage_dn = jnp.where(
-        riv["down_local"], riv_stage[riv["down_slot"]],
-        ghost_r[riv["down_gpos"]],
-    )
-    s_mean = 0.5 * (riv["riv_bed_slope"] + riv["down_bedslope"])
-    s_down = (
-        (riv_stage - riv["riv_depth"]) - (stage_dn - riv["down_depth"])
-    ) / riv["riv_dist2down"] + s_mean
-    r_hyd = jnp.where(r_per <= ZERO, 0.0,
-                      r_csa / jnp.where(r_per <= ZERO, 1.0, r_per))
-    q_down_int = ph.manning_equation(r_csa, riv["riv_avg_rough"], r_hyd, s_down)
-    s_out = riv["riv_bed_slope"] + riv_stage * 2.0 / riv["riv_length"]
-    q_out_zdg = ph.manning_equation(r_csa, riv["riv_avg_rough"], r_hyd, s_out)
-    q_out_crit = r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 1e-30)) * 60.0
     to_lake = riv["riv_to_lake"] >= 0
-    q_riv_down = jnp.where(
-        to_lake, q_out_zdg,
-        jnp.where(has_down, q_down_int,
-                  jnp.where(riv["riv_outlet_code"] == -4, q_out_crit,
-                            q_out_zdg)),
-    )
-    q_riv_down = jnp.where(rvalid, q_riv_down, 0.0)
-    q_riv_up = segment_sum(
-        jnp.where(has_down & riv["down_local"], -q_riv_down, 0.0),
-        riv["down_slot"], num_segments=nr_local,
-    )
+    if do_riv:
+        stage_dn = jnp.where(
+            riv["down_local"], riv_stage[riv["down_slot"]],
+            ghost_r[riv["down_gpos"]],
+        )
+        s_mean = 0.5 * (riv["riv_bed_slope"] + riv["down_bedslope"])
+        s_down = (
+            (riv_stage - riv["riv_depth"]) - (stage_dn - riv["down_depth"])
+        ) / riv["riv_dist2down"] + s_mean
+        r_hyd = jnp.where(r_per <= ZERO, 0.0,
+                          r_csa / jnp.where(r_per <= ZERO, 1.0, r_per))
+        q_down_int = ph.manning_equation(r_csa, riv["riv_avg_rough"],
+                                         r_hyd, s_down)
+        s_out = riv["riv_bed_slope"] + riv_stage * 2.0 / riv["riv_length"]
+        q_out_zdg = ph.manning_equation(r_csa, riv["riv_avg_rough"],
+                                        r_hyd, s_out)
+        q_out_crit = (r_csa * jnp.sqrt(GRAV * jnp.maximum(riv_stage, 1e-30))
+                      * 60.0)
+        q_riv_down = jnp.where(
+            to_lake, q_out_zdg,
+            jnp.where(has_down, q_down_int,
+                      jnp.where(riv["riv_outlet_code"] == -4, q_out_crit,
+                                q_out_zdg)),
+        )
+        q_riv_down = jnp.where(rvalid, q_riv_down, 0.0)
+        q_riv_up = segment_sum(
+            jnp.where(has_down & riv["down_local"], -q_riv_down, 0.0),
+            riv["down_slot"], num_segments=nr_local,
+        )
+    else:
+        q_riv_down = q_riv_up = jnp.zeros_like(riv_stage)
 
     # ---- reverse halo: flux partials for remote reaches -> owners ----
     gr = plan.g_riv
@@ -526,7 +549,30 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     else:
         dlake = jnp.zeros_like(y_local["lake"])
 
-    return {"sf": dsf, "us": dus, "gw": dgw, "riv": driv, "lake": dlake}
+    dy = {"sf": dsf, "us": dus, "gw": dgw, "riv": driv, "lake": dlake}
+    if not want_diag:
+        return dy
+    # per-window output diagnostics — the same field set rhs_full's diag
+    # provides to the fused single-chip driver (fused.py ACCUM_KEYS), in
+    # the sharded block layout (cell [Np], edge [Np,3], river [Rp], lake
+    # replicated [Nl] post-psum)
+    if nl == 0:
+        zl = jnp.zeros((0,), dtype=dsf.dtype)
+        q_lake_evap = q_lake_prcp = q_lake_surf = q_lake_sub = zl
+        q_lake_rivin = lake_area = zl
+    diag = dict(
+        q_infil=q_infil, q_exfil=q_exfil, q_rech=q_rech,
+        q_esurf=q_esurf, q_esub=q_esub,
+        q_surf_tot=q_surf_tot, q_sub_tot=q_sub_tot,
+        q_riv_surf=q_riv_surf, q_riv_sub=q_riv_sub,
+        q_riv_down=q_riv_down, q_riv_up=q_riv_up,
+        q_e2r_surf=q_e2r_surf, q_e2r_sub=q_e2r_sub,
+        es=es, eu=eu, eg=eg, tu=tu, tg=tg, e_ic=e_ic_out,
+        q_lake_evap=q_lake_evap, q_lake_prcp=q_lake_prcp,
+        q_lake_surf=q_lake_surf, q_lake_sub=q_lake_sub,
+        q_lake_rivin=q_lake_rivin, lake_area=lake_area,
+    )
+    return dy, diag
 
 
 _SHARDED_LAKE_KEYS = ("lakenabr", "dzl", "dzb")
@@ -534,7 +580,9 @@ _SHARDED_LAKE_KEYS = ("lakenabr", "dzl", "dzb")
 
 def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
                      float_dtype=None, use_pallas: bool = False,
-                     interpret: "bool | None" = None):
+                     interpret: "bool | None" = None,
+                     parts=("ele", "edge", "seg", "riv"),
+                     with_diag: bool = False):
     """Build (mesh, rhs_fn, device_arrays).
 
     ``rhs_fn(t, y, params)`` takes the sharded state pytree
@@ -644,79 +692,109 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    def rhs_fn(t, y, params):
-        (cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp) = params
+    _DIAG_CELL = ("q_infil", "q_exfil", "q_rech", "q_surf_tot", "q_sub_tot",
+                  "q_e2r_surf", "q_e2r_sub", "es", "eu", "eg", "tu", "tg",
+                  "e_ic")
+    _DIAG_EDGE = ("q_esurf", "q_esub")
+    _DIAG_RIV = ("q_riv_surf", "q_riv_sub", "q_riv_down", "q_riv_up")
+    _DIAG_LAKE = ("q_lake_evap", "q_lake_prcp", "q_lake_surf", "q_lake_sub",
+                  "q_lake_rivin", "lake_area")
 
-        def body(cell_l, edge_l, seg_l, riv_l, halo_l, lake_l, fsc_l, fsr_l,
-                 y_l, t_l):
-            # strip the leading size-1 shard axis from sharded blocks
-            cell_1 = {k: v[0] for k, v in cell_l.items()}
-            edge_1 = {k: v[0] for k, v in edge_l.items()}
-            seg_1 = {k: v[0] for k, v in seg_l.items()}
-            riv_1 = {k: v[0] for k, v in riv_l.items()}
-            halo_1 = {k: v[0] for k, v in halo_l.items()}
-            lake_1 = {
-                k: (v[0] if k in _SHARDED_LAKE_KEYS else v)
-                for k, v in lake_l.items()
-            }
-            y_1 = {
-                "sf": y_l["sf"][0], "us": y_l["us"][0], "gw": y_l["gw"][0],
-                "riv": y_l["riv"][0], "lake": y_l["lake"],
-            }
-            fsc_1 = {k: v[0] for k, v in fsc_l.items()}
-            fsr_1 = {k: v[0] for k, v in fsr_l.items()}
+    def _make_fn(want_diag):
+        def rhs_fn(t, y, params):
+            (cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp) = params
 
-            from shud_tpu.core.state import ForcingSlice
+            def body(cell_l, edge_l, seg_l, riv_l, halo_l, lake_l, fsc_l,
+                     fsr_l, y_l, t_l):
+                # strip the leading size-1 shard axis from sharded blocks
+                cell_1 = {k: v[0] for k, v in cell_l.items()}
+                edge_1 = {k: v[0] for k, v in edge_l.items()}
+                seg_1 = {k: v[0] for k, v in seg_l.items()}
+                riv_1 = {k: v[0] for k, v in riv_l.items()}
+                halo_1 = {k: v[0] for k, v in halo_l.items()}
+                lake_1 = {
+                    k: (v[0] if k in _SHARDED_LAKE_KEYS else v)
+                    for k, v in lake_l.items()
+                }
+                y_1 = {
+                    "sf": y_l["sf"][0], "us": y_l["us"][0],
+                    "gw": y_l["gw"][0],
+                    "riv": y_l["riv"][0], "lake": y_l["lake"],
+                }
+                fsc_1 = {k: v[0] for k, v in fsc_l.items()}
+                fsr_1 = {k: v[0] for k, v in fsr_l.items()}
 
-            fs_obj = ForcingSlice(**{
-                k: fsc_1[k] for k in (
-                    "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic",
-                    "lai", "fu_surf", "fu_sub",
+                from shud_tpu.core.state import ForcingSlice
+
+                fs_obj = ForcingSlice(**{
+                    k: fsc_1[k] for k in (
+                        "net_prcp", "prcp", "pot_evap", "pot_tran", "e_ic",
+                        "lai", "fu_surf", "fu_sub",
+                    )
+                }, ele_ybc=fsc_1["ele_ybc"], ele_qbc=fsc_1["ele_qbc"],
+                   ele_qss=fsc_1["ele_qss"],
+                   riv_ybc=fsr_1["riv_ybc"], riv_qbc=fsr_1["riv_qbc"])
+                fs_local = {
+                    "fs": fs_obj, "ele_ybc": fsc_1["ele_ybc"],
+                    "ele_qbc": fsc_1["ele_qbc"], "ele_qss": fsc_1["ele_qss"],
+                }
+                if use_pallas:
+                    from shud_tpu.core.pallas_edge import EdgeBlocks
+
+                    eb_l = EdgeBlocks(
+                        blk=ebm.blk, nb=ebm.nb, bc=ebm.bc,
+                        num_ele=ebm.num_ele,
+                        k_lo=ebm.k_lo, k_hi=ebm.k_hi,
+                        **{f: halo_1[f"eb_{f}"] for f in _EB_FIELDS},
+                    )
+                    pk = (eb_l, interp)
+                else:
+                    pk = None
+                out = _local_rhs(
+                    plan, cell_1, edge_1, seg_1, riv_1, lake_1, halo_1, t_l,
+                    y_1, fs_local, fsr_1, close_boundary, pk=pk, parts=parts,
+                    want_diag=want_diag,
                 )
-            }, ele_ybc=fsc_1["ele_ybc"], ele_qbc=fsc_1["ele_qbc"],
-               ele_qss=fsc_1["ele_qss"],
-               riv_ybc=fsr_1["riv_ybc"], riv_qbc=fsr_1["riv_qbc"])
-            fs_local = {
-                "fs": fs_obj, "ele_ybc": fsc_1["ele_ybc"],
-                "ele_qbc": fsc_1["ele_qbc"], "ele_qss": fsc_1["ele_qss"],
-            }
-            if use_pallas:
-                from shud_tpu.core.pallas_edge import EdgeBlocks
+                dy = out[0] if want_diag else out
+                dy_out = {
+                    "sf": dy["sf"][None], "us": dy["us"][None],
+                    "gw": dy["gw"][None], "riv": dy["riv"][None],
+                    "lake": dy["lake"],
+                }
+                if not want_diag:
+                    return dy_out
+                diag = out[1]
+                diag_out = {
+                    k: (diag[k] if k in _DIAG_LAKE else diag[k][None])
+                    for k in diag
+                }
+                return dy_out, diag_out
 
-                eb_l = EdgeBlocks(
-                    blk=ebm.blk, nb=ebm.nb, bc=ebm.bc, num_ele=ebm.num_ele,
-                    k_lo=ebm.k_lo, k_hi=ebm.k_hi,
-                    **{f: halo_1[f"eb_{f}"] for f in _EB_FIELDS},
-                )
-                pk = (eb_l, interp)
-            else:
-                pk = None
-            dy = _local_rhs(
-                plan, cell_1, edge_1, seg_1, riv_1, lake_1, halo_1, t_l,
-                y_1, fs_local, fsr_1, close_boundary, pk=pk,
-            )
-            return {
-                "sf": dy["sf"][None], "us": dy["us"][None],
-                "gw": dy["gw"][None], "riv": dy["riv"][None],
-                "lake": dy["lake"],
-            }
+            diag_spec = {k: P(AXIS)
+                         for k in _DIAG_CELL + _DIAG_EDGE + _DIAG_RIV}
+            diag_spec.update({k: P() for k in _DIAG_LAKE})
+            return shard_map(
+                body, mesh=mesh,
+                in_specs=(
+                    shard_specs["cell"], shard_specs["edge"],
+                    shard_specs["seg"],
+                    shard_specs["riv"], shard_specs["halo"],
+                    shard_specs["lake"],
+                    {k: fs_cell_spec for k in fs_cell},
+                    {"riv_ybc": P(AXIS), "riv_qbc": P(AXIS)},
+                    y_spec, P(),
+                ),
+                out_specs=(y_spec, diag_spec) if want_diag else y_spec,
+                check_rep=False,
+            )(cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp, y,
+              jnp.asarray(t))
 
-        return shard_map(
-            body, mesh=mesh,
-            in_specs=(
-                shard_specs["cell"], shard_specs["edge"], shard_specs["seg"],
-                shard_specs["riv"], shard_specs["halo"],
-                shard_specs["lake"],
-                {k: fs_cell_spec for k in fs_cell},
-                {"riv_ybc": P(AXIS), "riv_qbc": P(AXIS)},
-                y_spec, P(),
-            ),
-            out_specs=y_spec,
-            check_rep=False,
-        )(cellp, edgep, segp, rivp, halop, lakep, fs_cell, fs_rivp, y,
-          jnp.asarray(t))
+        return rhs_fn
 
+    rhs_fn = _make_fn(False)
     params = (cell, edge, seg, riv, halo, lake_tbl)
+    if with_diag:
+        return mesh, rhs_fn, _make_fn(True), params
     return mesh, rhs_fn, params
 
 

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Two-process `jax.distributed` dryrun of the sharded solver window.
+
+VERDICT r3 item 5: `init_distributed` (parallel/runtime.py) had never been
+executed.  This tool runs the REAL multi-host code path on this one-box
+image: a coordinator + 2 CPU processes, each exposing 4 virtual devices
+(8 global), the RCB partition built over the GLOBAL device count, the
+`shard_map` RHS with its cross-process `ppermute` halo rounds, and one
+full adaptive solver window.  The window-end state's global checksum is
+compared against a single-process 8-virtual-device run of the identical
+window (must agree to reduction-order round-off).
+
+Usage:
+    python tools/dryrun_distributed.py            # parent: spawns ranks
+    (internal) SHUD_DR_RANK=k ... dryrun_distributed.py --rank
+
+Exit 0 + "DISTRIBUTED DRYRUN OK" on success.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PORT = int(os.environ.get("SHUD_DR_PORT", "8476"))
+NPROC = 2
+LOCAL_DEV = 4
+
+
+def build_problem():
+    import numpy as np
+
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(16, 8, end_day=1.0)
+    md = build_mesh(inp)
+    rng = np.random.default_rng(7)
+    ne, nr = md.num_ele, md.num_riv
+    y = np.concatenate([
+        rng.uniform(0, 0.02, ne), rng.uniform(0, 0.5, ne),
+        rng.uniform(0, 8.0, ne), rng.uniform(0, 1.0, nr),
+    ])
+    return inp, md, y
+
+
+def run_window(inp, md, y, p):
+    """One sharded adaptive solver window; returns the end-state checksum."""
+    import jax
+    import jax.numpy as jnp
+
+    from shud_tpu.driver.forcing import build_forcing
+    from shud_tpu.core.device import to_device
+    from shud_tpu.parallel.partition import build_sharded_mesh, shard_state
+    from shud_tpu.parallel.runtime import compute_forcing_blocks
+    from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs, place_params
+    from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import numpy as np
+
+    sm = build_sharded_mesh(md, p)
+    mesh, rhs_fn, params = make_sharded_rhs(sm)
+    cell_sh = NamedSharding(mesh, P(AXIS))
+    rep_sh = NamedSharding(mesh, P())
+
+    # multi-process-safe placement: device_put of a host array onto a
+    # sharding that spans non-addressable devices is illegal; build the
+    # jax.Array from per-shard callbacks instead (every process holds the
+    # full host copy, so the callback just slices it)
+    def put(v, sh):
+        v = np.asarray(jnp.asarray(v))
+        return jax.make_array_from_callback(
+            v.shape, sh, lambda idx: v[idx])
+
+    fr = build_forcing(inp, md)
+    dm = to_device(md)
+    fs_cell, fs_riv, _, _ = compute_forcing_blocks(
+        inp, md, sm, 0.0, 10.0, fr=fr, dm=dm)
+    fs_cell = {k: put(v, cell_sh) for k, v in fs_cell.items()}
+    fs_riv = {k: put(v, cell_sh) for k, v in fs_riv.items()}
+
+    from shud_tpu.parallel.sharded import _SHARDED_LAKE_KEYS
+
+    cell, edge, seg, riv, halo, lake = params
+
+    def put_tree(tree):
+        return {k: put(v, cell_sh) for k, v in tree.items()}
+
+    params_dev = (put_tree(cell), put_tree(edge), put_tree(seg),
+                  put_tree(riv), put_tree(halo),
+                  {k: put(v, cell_sh if k in _SHARDED_LAKE_KEYS else rep_sh)
+                   for k, v in lake.items()})
+
+    ys = shard_state(sm, y)
+    y_dev = {
+        "sf": put(ys["sf"], cell_sh), "us": put(ys["us"], cell_sh),
+        "gw": put(ys["gw"], cell_sh), "riv": put(ys["riv"], cell_sh),
+        "lake": put(ys["lake"], rep_sh),
+    }
+    cfg = SolverConfig(rtol=1e-3, atol=1e-4, h_init=0.01, h_max=10.0)
+    st = bdf_init(0.0, y_dev, cfg)
+    st = solve_to(rhs_fn, st, 10.0, params_dev + (fs_cell, fs_riv), cfg)
+
+    @jax.jit
+    def checksum(yt):
+        return sum(jnp.sum(v) for v in yt.values()), yt["gw"].max()
+
+    s, mx = checksum(st.y)
+    return float(s), float(mx), int(st.nfe), sm.plan.k
+
+
+def child(rank: int):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEV}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from shud_tpu.parallel.runtime import init_distributed
+
+    pid, ndev = init_distributed(coordinator=f"localhost:{PORT}",
+                                 num_processes=NPROC, process_id=rank)
+    assert ndev == NPROC * LOCAL_DEV, f"global devices {ndev}"
+    assert len(jax.local_devices()) == LOCAL_DEV
+    inp, md, y = build_problem()
+    s, mx, nfe, rounds = run_window(inp, md, y, p=ndev)
+    print(f"[rank {pid}] checksum={s:.12e} gw_max={mx:.6f} nfe={nfe} "
+          f"halo_rounds={rounds}", flush=True)
+    if rank == 0:
+        with open("/tmp/shud_dr_rank0.txt", "w") as f:
+            f.write(f"{s:.17e} {nfe}\n")
+
+
+def single_process_reference():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={NPROC * LOCAL_DEV}"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    inp, md, y = build_problem()
+    s, mx, nfe, rounds = run_window(inp, md, y, p=NPROC * LOCAL_DEV)
+    print(f"[single-proc ref] checksum={s:.12e} nfe={nfe}", flush=True)
+    with open("/tmp/shud_dr_ref.txt", "w") as f:
+        f.write(f"{s:.17e} {nfe}\n")
+
+
+if __name__ == "__main__":
+    if "--rank" in sys.argv:
+        child(int(os.environ["SHUD_DR_RANK"]))
+    elif "--ref" in sys.argv:
+        single_process_reference()
+    else:
+        # parent: single-process reference first, then the 2-process run
+        env = dict(os.environ)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--ref"], env=env, cwd=REPO)
+        assert r.returncode == 0, "single-process reference failed"
+        procs = []
+        for k in range(NPROC):
+            e = dict(os.environ, SHUD_DR_RANK=str(k))
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--rank"],
+                env=e, cwd=REPO))
+        rcs = [q.wait(timeout=900) for q in procs]
+        assert all(rc == 0 for rc in rcs), f"child exit codes {rcs}"
+        with open("/tmp/shud_dr_rank0.txt") as f:
+            s_mp, nfe_mp = f.read().split()
+        with open("/tmp/shud_dr_ref.txt") as f:
+            s_sp, nfe_sp = f.read().split()
+        ds = abs(float(s_mp) - float(s_sp))
+        rel = ds / max(1.0, abs(float(s_sp)))
+        print(f"2-proc vs 1-proc checksum delta: {ds:.3e} (rel {rel:.3e}); "
+              f"nfe {nfe_mp} vs {nfe_sp}")
+        assert rel < 1e-9, "distributed window diverged from single-process"
+        assert nfe_mp == nfe_sp, "NFE mismatch across process layouts"
+        print("DISTRIBUTED DRYRUN OK")

@@ -25,7 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    days = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    days = float(args[0]) if args else 10.0
+    # --sharded[=P]: run the harness through ShardedSimulation (the
+    # domain-decomposed composed path) instead of the fused single-chip
+    # driver — VERDICT r3 item 9.  P defaults to 8 (virtual CPU mesh via
+    # tests-style XLA flags, or real chips when present).
+    shard_p = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--sharded"):
+            shard_p = int(a.split("=", 1)[1]) if "=" in a else 8
 
     if os.environ.get("SHUD_F32_CPU", "0") == "1":
         # env vars alone cannot deselect the force-registered TPU plugin;
@@ -44,6 +53,27 @@ def main():
         meta = {}
         for fd in (jnp.float64, jnp.float32):
             t0 = time.time()
+            if shard_p:
+                from shud_tpu.core.mesh import build_mesh
+                from shud_tpu.io.project import load_project
+                from shud_tpu.parallel.runtime import ShardedSimulation
+
+                inp = load_project(project, base="/root/reference")
+                inp.control.day_end = days + 1.0
+                md = build_mesh(inp)
+                ssim = ShardedSimulation(inp, md, shard_p, float_dtype=fd)
+                ssim.run(days * 1440.0)
+                y = np.asarray(ssim.y_full(), dtype=np.float64)
+                ys[fd] = y
+                meta[fd] = (int(ssim.state.nsteps), int(ssim.state.nfe),
+                            time.time() - t0, False)
+
+                class _S:  # minimal attrs for the shared reporting below
+                    pass
+
+                sim = _S()
+                sim.md = md
+                continue
             sim = FusedSimulation.create(project, base="/root/reference",
                                          float_dtype=fd, day_end=days + 1.0)
             nd = int(days)
@@ -65,7 +95,8 @@ def main():
             parts["lake"] = d[3 * ne + nr:].max()
         ns64, nfe64, w64, _ = meta[jnp.float64]
         ns32, nfe32, w32, mega32 = meta[jnp.float32]
-        print(f"{project}: {days:.0f} days | f64 nsteps={ns64} nfe={nfe64} "
+        tag = f"{project}[sharded P={shard_p}]" if shard_p else project
+        print(f"{tag}: {days:.0f} days | f64 nsteps={ns64} nfe={nfe64} "
               f"wall={w64:.0f}s | f32 nsteps={ns32} nfe={nfe32} "
               f"wall={w32:.0f}s mega={mega32} | " +
               " ".join(f"max|d{k}|={v:.2e}" for k, v in parts.items()),

@@ -48,16 +48,35 @@ def build_problem():
     return inp, md, y
 
 
+def forcing_blocks_file(inp, md, p):
+    """Host-side forcing blocks, precomputed by the PARENT process: the
+    host prep path runs jitted transforms, and in a multi-process context
+    jit outputs span all global devices (unfetchable per process) — the
+    children only exercise the solver-window collectives."""
+    import numpy as np
+
+    from shud_tpu.core.device import to_device
+    from shud_tpu.driver.forcing import build_forcing
+    from shud_tpu.parallel.partition import build_sharded_mesh
+    from shud_tpu.parallel.runtime import compute_forcing_blocks
+
+    sm = build_sharded_mesh(md, p)
+    fr = build_forcing(inp, md)
+    dm = to_device(md)
+    fs_cell, fs_riv, _, _ = compute_forcing_blocks(
+        inp, md, sm, 0.0, 10.0, fr=fr, dm=dm)
+    out = {f"c/{k}": np.asarray(v) for k, v in fs_cell.items()}
+    out.update({f"r/{k}": np.asarray(v) for k, v in fs_riv.items()})
+    np.savez("/tmp/shud_dr_fs.npz", **out)
+
+
 def run_window(inp, md, y, p):
     """One sharded adaptive solver window; returns the end-state checksum."""
     import jax
     import jax.numpy as jnp
 
-    from shud_tpu.driver.forcing import build_forcing
-    from shud_tpu.core.device import to_device
     from shud_tpu.parallel.partition import build_sharded_mesh, shard_state
-    from shud_tpu.parallel.runtime import compute_forcing_blocks
-    from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs, place_params
+    from shud_tpu.parallel.sharded import AXIS, make_sharded_rhs
     from shud_tpu.solver.bdf import SolverConfig, bdf_init, solve_to
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -73,16 +92,15 @@ def run_window(inp, md, y, p):
     # jax.Array from per-shard callbacks instead (every process holds the
     # full host copy, so the callback just slices it)
     def put(v, sh):
-        v = np.asarray(jnp.asarray(v))
+        v = np.asarray(v)
         return jax.make_array_from_callback(
             v.shape, sh, lambda idx: v[idx])
 
-    fr = build_forcing(inp, md)
-    dm = to_device(md)
-    fs_cell, fs_riv, _, _ = compute_forcing_blocks(
-        inp, md, sm, 0.0, 10.0, fr=fr, dm=dm)
-    fs_cell = {k: put(v, cell_sh) for k, v in fs_cell.items()}
-    fs_riv = {k: put(v, cell_sh) for k, v in fs_riv.items()}
+    z = np.load("/tmp/shud_dr_fs.npz")
+    fs_cell = {k[2:]: put(z[k], cell_sh) for k in z.files
+               if k.startswith("c/")}
+    fs_riv = {k[2:]: put(z[k], cell_sh) for k in z.files
+              if k.startswith("r/")}
 
     from shud_tpu.parallel.sharded import _SHARDED_LAKE_KEYS
 
@@ -122,6 +140,9 @@ def child(rank: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    # the axon TPU plugin overrides JAX_PLATFORMS (tests/conftest.py); the
+    # platform must be pinned through jax.config before first backend use
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from shud_tpu.parallel.runtime import init_distributed
 
@@ -146,8 +167,10 @@ def single_process_reference():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     inp, md, y = build_problem()
+    forcing_blocks_file(inp, md, NPROC * LOCAL_DEV)
     s, mx, nfe, rounds = run_window(inp, md, y, p=NPROC * LOCAL_DEV)
     print(f"[single-proc ref] checksum={s:.12e} nfe={nfe}", flush=True)
     with open("/tmp/shud_dr_ref.txt", "w") as f:
@@ -166,12 +189,22 @@ if __name__ == "__main__":
                             "--ref"], env=env, cwd=REPO)
         assert r.returncode == 0, "single-process reference failed"
         procs = []
+        logs = []
         for k in range(NPROC):
             e = dict(os.environ, SHUD_DR_RANK=str(k))
+            lf = open(f"/tmp/shud_dr_rank{k}.log", "w")
+            logs.append(lf)
             procs.append(subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--rank"],
-                env=e, cwd=REPO))
+                env=e, cwd=REPO, stdout=lf, stderr=subprocess.STDOUT))
         rcs = [q.wait(timeout=900) for q in procs]
+        for lf in logs:
+            lf.close()
+        for k in range(NPROC):
+            with open(f"/tmp/shud_dr_rank{k}.log") as f:
+                tail = f.read().splitlines()[-12:]
+            print(f"--- rank {k} log tail ---")
+            print("\n".join(tail))
         assert all(rc == 0 for rc in rcs), f"child exit codes {rcs}"
         with open("/tmp/shud_dr_rank0.txt") as f:
             s_mp, nfe_mp = f.read().split()

@@ -722,7 +722,7 @@ def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
             interpret=interpret,
         )(*_static_args(eb),
           sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b)
-    return _unblk(eb, qs), _unblk(eb, qb)
+    return qs, qb
 
 
 def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
@@ -749,7 +749,7 @@ def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
           sf_b, sf_b, sf_b, gw_b, gw_b, gw_b, kh_b, kh_b, kh_b)
     qs, qb = out[0], out[1]
     coeffs = out[2:]
-    return (_unblk(eb, qs), _unblk(eb, qb)), coeffs
+    return (qs, qb), coeffs
 
 
 def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
@@ -773,7 +773,7 @@ def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
             interpret=interpret,
         )(jnp.asarray(eb.nbq, jnp.int32), *coeffs,
           tsf_b, tsf_b, tsf_b, tgw_b, tgw_b, tgw_b, tkh_b, tkh_b, tkh_b)
-    return _unblk(eb, tqs), _unblk(eb, tqb)
+    return tqs, tqb
 
 
 @_edge_pallas_core.defjvp
@@ -805,4 +805,32 @@ def edge_fluxes_pallas(eb: EdgeBlocks, sf, gw, effkh,
     """
     if interpret is None:
         interpret = _interpret_default()
-    return _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret)
+    qs, qb = _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret)
+    return _unblk(eb, qs), _unblk(eb, qb)
+
+
+def _row_sum(eb, a):
+    """Per-cell sum over the 3 edge slots, computed IN the kernel's blocked
+    layout [nb, 3*bc, 128] -> [Ne].  The logical [Ne, 3] view (minor dim 3)
+    forces XLA relayout copies of every 12.6 MB flux array on TPU — the
+    dominant cost of the composed sharded RHS before round 4 (docs/PERF.md
+    "Composed sharded RHS"); reducing in blocked space never materialises
+    it."""
+    nb, bc = eb.nb, eb.bc
+    return (a.reshape(nb, 3, bc, 128).sum(axis=1)
+            .reshape(nb * eb.blk)[: eb.num_ele])
+
+
+@functools.partial(jax.jit, static_argnames=("close_boundary", "interpret"))
+def edge_fluxes_pallas_rowsum(eb: EdgeBlocks, sf, gw, effkh,
+                              close_boundary: bool = True,
+                              interpret: "bool | None" = None):
+    """Fused edge fluxes reduced to per-cell row sums ``(q_surf_row[Ne],
+    q_sub_row[Ne])`` — the only form the solver hot path needs (the dY
+    assembly consumes SUM over a cell's 3 edges; per-edge arrays are a
+    diagnostics-only output).  Differentiable: the tangent is the sparse
+    apply kernel's blocked output reduced the same way."""
+    if interpret is None:
+        interpret = _interpret_default()
+    qs, qb = _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret)
+    return _row_sum(eb, qs), _row_sum(eb, qb)

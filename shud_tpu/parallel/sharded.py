@@ -116,6 +116,88 @@ def _halo_reverse(plan: ExchangePlan, halo, partials, nr_local):
     return acc
 
 
+def _edge_stencil_pallas_row(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
+                             lake_stg, nl, close_boundary):
+    """Row-sum form of the per-shard edge stencil (the solver hot path).
+
+    The dY assembly consumes only the per-cell SUM of the 3 edge fluxes;
+    materialising logical [Np, 3] arrays (minor dim 3) forces XLA to
+    relayout every 12.6 MB kernel output — measured at ~7.7 ms of the
+    9.26 ms composed RHS at 1.05M cells (tools/profile_sharded.py,
+    docs/PERF.md).  This path reduces the kernel outputs to [Np] rows IN
+    the blocked layout and merges the O(edge-cut) remainder and lake-bank
+    branches with compact scatter-adds (the kernel emits 0 on remote and
+    lake-bank edges, so add == the dense path's mask-replace).
+
+    Returns (q_surf_row [Np], q_sub_row [Np] pre-fu_sub, per-lake surf/sub
+    partial sums [Nl] — pre-psum)."""
+    from shud_tpu.core.pallas_edge import (
+        _flux_sub_int,
+        _flux_surface_int,
+        edge_fluxes_pallas_rowsum,
+    )
+
+    eb, interpret = pk
+    np_cells = sf.shape[0]
+    qs_row, qb_row = edge_fluxes_pallas_rowsum(
+        eb, sf, gw, effkh, close_boundary=close_boundary,
+        interpret=interpret,
+    )
+    f32 = jnp.float32
+    sf32, gw32, kh32 = (jnp.asarray(sf, f32), jnp.asarray(gw, f32),
+                        jnp.asarray(effkh, f32))
+    rc, rv = halo["rmt_cell"], halo["rmt_valid"]
+    gq = halo["rmt_gpos"]
+    isf_r = jnp.maximum(sf32[rc], 0.0)
+    nsf_r = jnp.maximum(ghost_c[gq, 0], 0.0)
+    q_s_r, _ = _flux_surface_int(
+        isf_r, nsf_r, halo["rmt_dzs"], halo["rmt_dist"], halo["rmt_B"],
+        halo["rmt_ravg"], halo["rmt_dep"],
+    )
+    q_b_r, _ = _flux_sub_int(
+        gw32[rc], ghost_c[gq, 1], kh32[rc], ghost_c[gq, 2],
+        halo["rmt_dzb"], halo["rmt_dist"], halo["rmt_B"],
+    )
+    qs_row = qs_row.at[rc].add(jnp.where(rv, q_s_r, 0.0))
+    qb_row = qb_row.at[rc].add(jnp.where(rv, q_b_r, 0.0))
+    if nl == 0:
+        z = jnp.zeros((0,), qs_row.dtype)
+        return qs_row, qb_row, z, z
+
+    lc, lv = halo["lke_cell"], halo["lke_valid"]
+    lid = halo["lke_lake"]
+    lstg_raw = jnp.asarray(lake_stg, f32)[lid]
+    lstg = jnp.maximum(lstg_raw, 0.0)
+    isf_l = jnp.maximum(sf32[lc], 0.0)
+    q_s_l = ph.weir_flow_jtoi_local(
+        lstg + halo["lke_dzl"], isf_l, lstg, 0.6, halo["lke_B"], 0.01,
+    )
+    khnb = jnp.where(
+        halo["lke_nb_remote"], ghost_c[halo["lke_nb_gpos"], 2],
+        kh32[halo["lke_nb_local"]],
+    )
+    gw_l = gw32[lc]
+    dh_lk = (gw_l - lstg_raw) + halo["lke_dzb"]
+    ymean_lk = ph.avg_y_gw(gw_l, lstg_raw)
+    kmean_lk = 0.5 * (kh32[lc] + khnb)
+    q_b_l = kmean_lk * (dh_lk / halo["lke_dist"]) * ymean_lk * halo["lke_B"]
+    q_b_l = jnp.where(
+        ((dh_lk > 0.0) & (gw_l <= 0.02))
+        | ((dh_lk < 0.0) & (lstg_raw <= 0.02)),
+        0.0, q_b_l,
+    )
+    q_s_l = jnp.where(lv, q_s_l, 0.0)
+    q_b_l = jnp.where(lv, q_b_l, 0.0)
+    qs_row = qs_row.at[lc].add(q_s_l)
+    qb_row = qb_row.at[lc].add(q_b_l)
+    contrib = lv & halo["lke_contrib"]
+    lk_surf_loc = segment_sum(jnp.where(contrib, q_s_l, 0.0), lid,
+                              num_segments=nl)
+    lk_sub_loc = segment_sum(jnp.where(contrib, q_b_l, 0.0), lid,
+                             num_segments=nl)
+    return qs_row, qb_row, lk_surf_loc, lk_sub_loc
+
+
 def _edge_stencil_pallas(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
                          lake_stg, nl, close_boundary):
     """Per-shard lateral edge stencil, kernel-composed (f32):
@@ -274,7 +356,30 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
     ghost_c, ghost_r = _halo_forward(plan, halo, exports_c, riv_stage)
 
     np_cells = sf.shape[0]
-    if not do_edge:
+    q_surf_row = q_sub_row = None
+    if (pk is not None and do_edge and "edge_raw" not in parts
+            and not want_diag):
+        # hot path: per-cell row sums straight from the kernel's blocked
+        # layout + compact scatter remainder — no [Np, 3] materialisation
+        q_surf_row, q_sub_row0, lk_surf_loc, lk_sub_loc = (
+            _edge_stencil_pallas_row(
+                pk, halo, lake_tbl, ghost_c, sf, gw, cu.eff_kh, lake_stg,
+                nl, close_boundary,
+            ))
+        q_sub_row = q_sub_row0 * fs_local["fs"].fu_sub
+        if nl > 0:
+            q_surf_row = jnp.where(is_lake_cell, 0.0, q_surf_row)
+            q_sub_row = jnp.where(is_lake_cell, 0.0, q_sub_row)
+    elif "edge_raw" in parts and pk is not None:
+        # profiling ablation: the kernel alone, remainder/lake merge skipped
+        from shud_tpu.core.pallas_edge import edge_fluxes_pallas as _efp
+
+        ebk, interp_ = pk
+        q_esurf, q_esub0 = _efp(ebk, sf, gw, cu.eff_kh,
+                                close_boundary=close_boundary,
+                                interpret=interp_)
+        lk_surf_loc = lk_sub_loc = jnp.zeros((nl,), dtype=sf.dtype)
+    elif not do_edge:
         q_esurf = jnp.zeros((np_cells, 3), dtype=sf.dtype)
         q_esub0 = jnp.zeros((np_cells, 3), dtype=sf.dtype)
         lk_surf_loc = lk_sub_loc = jnp.zeros((nl,), dtype=sf.dtype)
@@ -383,10 +488,13 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
                 jnp.where(lk_mask, q_esub0, 0.0).ravel(), lki.ravel(),
                 num_segments=nl,
             )
-    q_esub = q_esub0 * fs_local["fs"].fu_sub[:, None]
-    if nl > 0:
-        q_esurf = jnp.where(is_lake_cell[:, None], 0.0, q_esurf)
-        q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
+    if q_surf_row is None:
+        q_esub = q_esub0 * fs_local["fs"].fu_sub[:, None]
+        if nl > 0:
+            q_esurf = jnp.where(is_lake_cell[:, None], 0.0, q_esurf)
+            q_esub = jnp.where(is_lake_cell[:, None], 0.0, q_esub)
+        q_surf_row = q_esurf.sum(axis=1)
+        q_sub_row = q_esub.sum(axis=1)
 
     # ---- segments (local elements; river stage local or from the halo) ----
     nr_local = riv_stage.shape[0]
@@ -485,8 +593,8 @@ def _local_rhs(plan, cell, edge, seg, riv, lake_tbl, halo, t,
 
     # ---- assembly ----
     area = m.area
-    q_surf_tot = q_e2r_surf + q_esurf.sum(axis=1)
-    q_sub_tot = q_e2r_sub + q_esub.sum(axis=1)
+    q_surf_tot = q_e2r_surf + q_surf_row
+    q_sub_tot = q_e2r_sub + q_sub_row
     fs = fs_local["fs"]
     dsf = fs.net_prcp - q_infil + q_exfil - q_surf_tot / area - es
     dus = q_infil - q_rech - eu - tu

@@ -76,3 +76,40 @@ def test_f32_accuracy_heihe():
 @pytest.mark.slow
 def test_f32_accuracy_qhh():
     _check("qhh", 10)
+
+
+@pytest.mark.slow
+def test_f32_sharded_ccw():
+    """f32 pin for the SHARDED composed path (VERDICT r3 item 9): the
+    domain-decomposed RHS + solver at P=8 virtual devices, f32 vs f64,
+    same bounds class as the single-chip pin.  The full 10-day harness run
+    (1454 steps, identical NFE between dtypes, deviations equal to the
+    single-chip path's) is recorded in docs/VALIDATION.md; this test runs
+    2 days (~290 steps) to stay inside the slow-tier budget."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.io.project import load_project
+    from shud_tpu.parallel.runtime import ShardedSimulation
+
+    days = 2.0
+    ys = {}
+    nfe = {}
+    for fd in (jnp.float64, jnp.float32):
+        inp = load_project("ccw", base="/root/reference")
+        inp.control.day_end = days + 1.0
+        md = build_mesh(inp)
+        sim = ShardedSimulation(inp, md, 8, float_dtype=fd)
+        sim.run(days * 1440.0)
+        ys[fd] = np.asarray(sim.y_full(), dtype=np.float64)
+        nfe[fd] = int(sim.state.nfe)
+    ne, nr = md.num_ele, md.num_riv
+    d = np.abs(ys[jnp.float64] - ys[jnp.float32])
+    parts = {
+        "surf": d[:ne].max(), "unsat": d[ne:2 * ne].max(),
+        "gw": d[2 * ne:3 * ne].max(), "riv": d[3 * ne:3 * ne + nr].max(),
+    }
+    for k, v in parts.items():
+        assert v < BOUNDS["ccw"][k], (k, v, parts)
+    # identical adaptive trajectory class: NFE within 2%
+    assert abs(nfe[jnp.float64] - nfe[jnp.float32]) <= 0.02 * nfe[jnp.float64]

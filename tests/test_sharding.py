@@ -170,7 +170,11 @@ def test_sharded_pallas_equivalence(eight_devices):
     fsargs = _random_fs(rng, ne, nr)
     dy_x, dy_p = _run_sharded_pair(md, y, fsargs)
     scale = float(np.abs(dy_x).max()) or 1.0
-    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=2e-6)
+    # 5e-6: the kernel's cbrt-tolerance class plus the row-sum hot path's
+    # f32 reassociation (blocked-layout edge reduction, fu_sub applied to
+    # the SUM; the XLA path scales per-edge then sums — bit-different,
+    # same physics)
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=5e-6)
 
 
 @pytest.mark.slow
@@ -190,7 +194,11 @@ def test_sharded_pallas_equivalence_lakes(qhh, eight_devices):
     fsargs = _random_fs(rng, ne, nr)
     dy_x, dy_p = _run_sharded_pair(md, y, fsargs)
     scale = float(np.abs(dy_x).max()) or 1.0
-    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=2e-6)
+    # 5e-6: the kernel's cbrt-tolerance class plus the row-sum hot path's
+    # f32 reassociation (blocked-layout edge reduction, fu_sub applied to
+    # the SUM; the XLA path scales per-edge then sums — bit-different,
+    # same physics)
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=5e-6)
 
 
 @pytest.mark.slow

@@ -48,7 +48,8 @@ def main():
 
     from shud_tpu.driver.fused import FusedSimulation
 
-    for project in ["ccw", "heihe", "qhh"]:
+    projects = os.environ.get("SHUD_F32_PROJECTS", "ccw,heihe,qhh").split(",")
+    for project in projects:
         ys = {}
         meta = {}
         for fd in (jnp.float64, jnp.float32):

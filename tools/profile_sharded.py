@@ -112,5 +112,145 @@ def main():
     print(f"  XLA-fallback delta:          {1e3*(t_full_x-t_full):7.3f} ms")
 
 
+def kernel_probe():
+    """Isolate the kernel: standalone on the shard block vs wrapped in
+    shard_map, plus the band/geometry of the per-shard EdgeBlocks."""
+    nx, ny, p = 724, 724, 1
+    md, sm = build(nx, ny, p)
+
+    import jax
+    import jax.numpy as jnp
+
+    import shud_tpu  # noqa: F401
+    from shud_tpu.core.pallas_edge import EdgeBlocks, edge_fluxes_pallas
+    from shud_tpu.parallel.partition import shard_state
+
+    eb = sm.edge_blocks
+    print(f"shard eb: blk={eb.blk} bc={eb.bc} k=[{eb.k_lo},{eb.k_hi}] "
+          f"num_ele={eb.num_ele}")
+    # single-shard views (strip the leading P axis)
+    eb1 = EdgeBlocks(
+        blk=eb.blk, nb=eb.nb, bc=eb.bc, num_ele=eb.num_ele,
+        k_lo=eb.k_lo, k_hi=eb.k_hi,
+        **{f: jnp.asarray(np.asarray(getattr(eb, f))[0])
+           for f in ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
+                     "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")},
+    )
+    ne, nr = md.num_ele, md.num_riv
+    rng = np.random.default_rng(1)
+    y = np.concatenate([
+        rng.uniform(0, 0.05, ne), rng.uniform(0, 1.0, ne),
+        rng.uniform(0, 8.0, ne), rng.uniform(0, 2.0, nr),
+    ])
+    ys = shard_state(sm, y)
+    sf = jnp.asarray(ys["sf"][0], jnp.float32)
+    gw = jnp.asarray(ys["gw"][0], jnp.float32)
+    kh = jnp.asarray(np.full(sm.np_cells, 0.01), jnp.float32)
+
+    import functools
+    import time
+
+    def timeit(label, fn, *args):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(sf, n):
+            def step(carry, _):
+                qs, qb = fn(carry, *args)
+                return carry + 1e-9 * (qs.sum(axis=1) + qb.sum(axis=1)), None
+
+            out, _ = jax.lax.scan(step, sf, None, length=n)
+            return out.sum()
+
+        _ = float(chain(sf, 4))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            _ = float(chain(sf, 4))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            _ = float(chain(sf, 32))
+            t_hi = time.time() - t0
+            best = min(best, (t_hi - t_lo) / 28)
+        print(f"{label:34s} {best*1e3:7.3f} ms/eval", flush=True)
+        return best
+
+    timeit("kernel standalone (no shard_map)",
+           lambda s_, g, k: edge_fluxes_pallas(eb1, s_, g, k,
+                                               close_boundary=True,
+                                               interpret=False), gw, kh)
+
+    # shard_map-wrapped kernel only
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    try:
+        from jax import shard_map as _sm0
+
+        def shard_map(f, **kw):
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm0(f, **kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("shards",))
+    ebm = sm.edge_blocks
+    fields = {f: jnp.asarray(np.asarray(getattr(ebm, f)))
+              for f in ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
+                        "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")}
+
+    def smk(sf_b, gw_b, kh_b, fb):
+        def body(sf_l, gw_l, kh_l, f_l):
+            eb_l = EdgeBlocks(
+                blk=ebm.blk, nb=ebm.nb, bc=ebm.bc, num_ele=ebm.num_ele,
+                k_lo=ebm.k_lo, k_hi=ebm.k_hi,
+                **{k: v[0] for k, v in f_l.items()},
+            )
+            qs, qb = edge_fluxes_pallas(eb_l, sf_l[0], gw_l[0], kh_l[0],
+                                        close_boundary=True,
+                                        interpret=False)
+            return qs[None], qb[None]
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P("shards"), P("shards"), P("shards"),
+                      {k: P("shards") for k in fb}),
+            out_specs=(P("shards"), P("shards")),
+            check_rep=False,
+        )(sf_b, gw_b, kh_b, fb)
+
+    sfb = jnp.asarray(ys["sf"], jnp.float32)
+    gwb = jnp.asarray(ys["gw"], jnp.float32)
+    khb = jnp.asarray(np.full((sm.p, sm.np_cells), 0.01), jnp.float32)
+
+    def smk_fn(sf_, gw_, kh_):
+        qs, qb = smk(sf_, gw_, kh_, fields)
+        return qs[0], qb[0]
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain2(sf_, n):
+        def step(carry, _):
+            qs, qb = smk(carry, gwb, khb, fields)
+            return carry + 1e-9 * (qs.sum(axis=2) + qb.sum(axis=2))[
+                :, :, None].squeeze(-1), None
+
+        out, _ = jax.lax.scan(step, sf_, None, length=n)
+        return out.sum()
+
+    import time
+
+    _ = float(chain2(sfb, 4))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        _ = float(chain2(sfb, 4))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        _ = float(chain2(sfb, 32))
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / 28)
+    print(f"{'kernel in shard_map':34s} {best*1e3:7.3f} ms/eval", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--kernel" in sys.argv:
+        kernel_probe()
+    else:
+        main()

@@ -126,9 +126,13 @@ def main():
               f"({ne/best/1e6:.0f}M cell-evals/s)", flush=True)
         return best
 
-    bench("sharded XLA f64", jnp.float64, False)
-    bench("sharded XLA f32", jnp.float32, False)
-    bench("sharded Pallas f32", jnp.float32, True)
+    only = os.environ.get("SHUD_BENCH_VARIANTS", "f64,f32,pallas")
+    if "f64" in only:
+        bench("sharded XLA f64", jnp.float64, False)
+    if "f32" in only.replace("pallas", ""):
+        bench("sharded XLA f32", jnp.float32, False)
+    if "pallas" in only:
+        bench("sharded Pallas f32", jnp.float32, True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,39 @@
+"""Multi-host code path: 2-process `jax.distributed` dryrun as a test.
+
+VERDICT r3 item 5's done-criterion: `init_distributed`
+(parallel/runtime.py) must be exercised for real on this image — a
+coordinator + 2 CPU processes (4 virtual devices each, 8 global over
+gloo) running one full sharded adaptive solver window, checked against a
+single-process run.  The heavy lifting lives in
+tools/dryrun_distributed.py (also runnable standalone); this test runs it
+in fresh subprocesses (jax.distributed cannot initialise inside an
+already-initialised test process).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_window():
+    env = dict(os.environ)
+    # the parent/children pin their own platform + device counts; scrub the
+    # test harness's 8-device XLA flag so ranks get exactly 4 local devices
+    env.pop("XLA_FLAGS", None)
+    env["SHUD_DR_PORT"] = "8493"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "dryrun_distributed.py")],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, (
+        f"dryrun failed\nstdout tail: {r.stdout[-1500:]}\n"
+        f"stderr tail: {r.stderr[-1500:]}"
+    )
+    assert "DISTRIBUTED DRYRUN OK" in r.stdout

@@ -87,6 +87,9 @@ class EdgeBlocks:
     dist2edge: np.ndarray  # [nb,3bc,128] f32 centroid-to-edge distance
     dep: np.ndarray        # [nb,bc,128]  f32 depression threshold
     rough_cell: np.ndarray # [nb,bc,128]  f32 cell Manning roughness
+    used: np.ndarray = None  # [nb, k_hi-k_lo+1] i32: 1 if the block has
+                             # any gathered edge at that row shift — the
+                             # sweep lax.cond-skips unused shifts per block
 
     # gather row-shift range: every gathered edge's window row lies within
     # [own_row + k_lo, own_row + k_hi] (own_row = bc + position chunk).
@@ -99,7 +102,7 @@ class EdgeBlocks:
 jax.tree_util.register_dataclass(
     EdgeBlocks,
     data_fields=["nbq", "edge", "dist", "rough_avg", "dzs", "dzb", "m_int",
-                 "m_bnd", "dist2edge", "dep", "rough_cell"],
+                 "m_bnd", "dist2edge", "dep", "rough_cell", "used"],
     meta_fields=["blk", "nb", "bc", "num_ele", "k_lo", "k_hi"],
 )
 
@@ -191,6 +194,13 @@ def build_edge_blocks_arrays(
         k_hi = int(shift[gathered].max())
     else:
         k_lo, k_hi = 0, 0
+    # per-block used-shift mask: most blocks touch only a few of the
+    # [k_lo, k_hi] shifts (RCM numbering keeps neighbours near the
+    # diagonal); the kernels skip the empty iterations per block
+    used = np.zeros((nb, k_hi - k_lo + 1), np.int32)
+    gi, gj = np.nonzero(gathered)
+    if len(gi):
+        used[cell_block[gi], shift[gi, gj] - k_lo] = 1
 
     return EdgeBlocks(
         blk=blk, nb=nb, bc=bc, num_ele=ne, k_lo=k_lo, k_hi=k_hi,
@@ -205,6 +215,7 @@ def build_edge_blocks_arrays(
         dist2edge=blk_edge(pad_edge(np.maximum(dist2edge, 1e-20))),
         dep=blk_cell(pad_cell(depression)),
         rough_cell=blk_cell(pad_cell(np.maximum(rough, 1e-20))),
+        used=used,
     )
 
 
@@ -233,7 +244,7 @@ def edge_blocks_to_device(eb: "EdgeBlocks | None") -> "EdgeBlocks | None":
         return None
     kw = {f: getattr(eb, f)
           for f in ("blk", "nb", "bc", "num_ele", "k_lo", "k_hi")}
-    for f in ("nbq", "m_int", "m_bnd"):
+    for f in ("nbq", "m_int", "m_bnd", "used"):
         kw[f] = jnp.asarray(getattr(eb, f), jnp.int32)
     for f in ("edge", "dist", "rough_avg", "dzs", "dzb", "dist2edge",
               "dep", "rough_cell"):
@@ -406,7 +417,7 @@ def _window_gather_chunks(bc, nbq, parts):
     return outs
 
 
-def _window_gather(bc, k_lo, k_hi, nbq, parts):
+def _window_gather(bc, k_lo, k_hi, nbq, parts, used_ref=None):
     """In-VMEM banded gather via an aligned row-shift sweep.
 
     ``parts`` = 3 tuples (prev/self/next) of field refs; returns one gathered
@@ -434,15 +445,26 @@ def _window_gather(bc, k_lo, k_hi, nbq, parts):
                          parts[2][k][...]], axis=0)
         for k in range(nf)
     ]
-    outs = [jnp.zeros((e3, 128), jnp.float32)] * nf
+    outs = tuple(jnp.zeros((e3, 128), jnp.float32) for _ in range(nf))
     for s in range(k_lo, k_hi + 1):
-        sel = shift == s
-        for k in range(nf):
-            rows = wins[k][bc + s : bc + s + bc]  # [bc,128] static slice
-            op = jnp.concatenate([rows, rows, rows], axis=0)
-            g = _lane_gather(op, lane)
-            outs[k] = jnp.where(sel, g, outs[k])
-    return outs
+        def sweep(o, s=s):
+            sel = shift == s
+            new = []
+            for k in range(nf):
+                rows = wins[k][bc + s : bc + s + bc]  # [bc,128] static
+                op = jnp.concatenate([rows, rows, rows], axis=0)
+                g = _lane_gather(op, lane)
+                new.append(jnp.where(sel, g, o[k]))
+            return tuple(new)
+
+        if used_ref is None:
+            outs = sweep(outs)
+        else:
+            # skip blocks with no gathered edge at this shift (per-block
+            # band mask, computed at build time)
+            outs = jax.lax.cond(used_ref[0, s - k_lo] != 0,
+                                sweep, lambda o: o, outs)
+    return list(outs)
 
 
 def _rep3(v):
@@ -450,8 +472,8 @@ def _rep3(v):
 
 
 def _edge_kernel(close_boundary: bool, bc: int, k_lo: int, k_hi: int,
-                 nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref, dzb_ref,
-                 mint_ref, mbnd_ref, d2e_ref,
+                 nbq_ref, used_ref, edge_ref, dist_ref, ravg_ref, dzs_ref,
+                 dzb_ref, mint_ref, mbnd_ref, d2e_ref,
                  dep_ref, rcell_ref,
                  sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
                  qs_ref, qb_ref):
@@ -459,7 +481,8 @@ def _edge_kernel(close_boundary: bool, bc: int, k_lo: int, k_hi: int,
 
     nsf_raw, ngw, nkh = _window_gather(
         bc, k_lo, k_hi, nbq,
-        ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)))
+        ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)),
+        used_ref)
 
     isf = _rep3(jnp.maximum(sf_s[...], 0.0))
     gw3 = _rep3(gw_s[...])
@@ -501,8 +524,8 @@ def _mask_max0(x):
 
 def _edge_kernel_coeff(close_boundary: bool, bc: int, k_lo: int,
                        k_hi: int,
-                       nbq_ref, edge_ref, dist_ref, ravg_ref, dzs_ref,
-                       dzb_ref, mint_ref, mbnd_ref, d2e_ref,
+                       nbq_ref, used_ref, edge_ref, dist_ref, ravg_ref,
+                       dzs_ref, dzb_ref, mint_ref, mbnd_ref, d2e_ref,
                        dep_ref, rcell_ref,
                        sf_p, sf_s, sf_n, gw_p, gw_s, gw_n, kh_p, kh_s, kh_n,
                        qs_ref, qb_ref,
@@ -632,8 +655,8 @@ def _edge_kernel_coeff(close_boundary: bool, bc: int, k_lo: int,
 
 
 def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int,
-                       nbq_ref, si_ref, sj_ref, g1_ref, g2_ref, ki_ref,
-                       kj_ref,
+                       nbq_ref, used_ref, si_ref, sj_ref, g1_ref, g2_ref,
+                       ki_ref, kj_ref,
                        tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
                        tkh_p, tkh_s, tkh_n,
                        tqs_ref, tqb_ref):
@@ -646,7 +669,7 @@ def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int,
     tnsf, tngw, tnkh = _window_gather(
         bc, k_lo, k_hi, nbq,
         ((tsf_p, tgw_p, tkh_p), (tsf_s, tgw_s, tkh_s),
-         (tsf_n, tgw_n, tkh_n)))
+         (tsf_n, tgw_n, tkh_n)), used_ref)
 
     t_sf3 = _rep3(tsf_s[...])
     t_gw3 = _rep3(tgw_s[...])
@@ -677,6 +700,22 @@ def _specs(eb, pl):
     return e_spec, f_prev, f_self, f_next
 
 
+def _used_spec(eb, pl):
+    """Per-block used-shift mask block (scalar memory: the values gate
+    scf.if conditions, which Mosaic requires to be scalar reads)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    nsh = eb.k_hi - eb.k_lo + 1
+    return pl.BlockSpec((1, nsh), lambda i: (i, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _blocks_used_stats(eb):
+    """(mean, max) used shifts per block — the expected sweep saving."""
+    u = np.asarray(_eb_used(eb))
+    return float(u.sum(-1).mean()), int(u.sum(-1).max())
+
+
 def _cells(eb, v):
     npad = eb.nb * eb.blk
     v = jnp.asarray(v, jnp.float32)
@@ -689,8 +728,18 @@ def _unblk(eb, a):
             .reshape(nb * eb.blk, 3)[:ne])
 
 
+def _eb_used(eb):
+    """Per-block used-shift mask; all-ones fallback for EdgeBlocks built
+    before the mask existed (old pickled partitions) — semantics identical,
+    no skipping."""
+    if eb.used is None:
+        return jnp.ones((eb.nb, eb.k_hi - eb.k_lo + 1), jnp.int32)
+    return jnp.asarray(eb.used, jnp.int32)
+
+
 def _static_args(eb):
-    return (eb.nbq, eb.edge, eb.dist, eb.rough_avg, eb.dzs, eb.dzb,
+    return (eb.nbq, _eb_used(eb),
+            eb.edge, eb.dist, eb.rough_avg, eb.dzs, eb.dzb,
             eb.m_int, eb.m_bnd, eb.dist2edge,
             eb.dep.reshape(eb.nb * eb.bc, 128),
             eb.rough_cell.reshape(eb.nb * eb.bc, 128))
@@ -706,13 +755,14 @@ def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
 
     kern = functools.partial(_edge_kernel, close_boundary, bc,
                              eb.k_lo, eb.k_hi)
+    u_spec = _used_spec(eb, pl)
     # Mosaic cannot lower 64-bit index/scalar types; scope out the global
     # jax_enable_x64 while tracing the kernel (all operands are 32-bit)
     with jax.enable_x64(False):
         qs, qb = pl.pallas_call(
             kern,
             grid=(nb,),
-            in_specs=[e_spec] * 9 + [f_self, f_self]
+            in_specs=[e_spec, u_spec] + [e_spec] * 8 + [f_self, f_self]
             + [f_prev, f_self, f_next] * 3,
             out_specs=(e_spec, e_spec),
             out_shape=(
@@ -735,12 +785,13 @@ def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
 
     kern = functools.partial(_edge_kernel_coeff, close_boundary,
                              bc, eb.k_lo, eb.k_hi)
+    u_spec = _used_spec(eb, pl)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
             grid=(nb,),
-            in_specs=[e_spec] * 9 + [f_self, f_self]
+            in_specs=[e_spec, u_spec] + [e_spec] * 8 + [f_self, f_self]
             + [f_prev, f_self, f_next] * 3,
             out_specs=(e_spec,) * 8,
             out_shape=(eshape,) * 8,
@@ -762,16 +813,18 @@ def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
 
     kern = functools.partial(_edge_kernel_apply, bc,
                              eb.k_lo, eb.k_hi)
+    u_spec = _used_spec(eb, pl)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
         tqs, tqb = pl.pallas_call(
             kern,
             grid=(nb,),
-            in_specs=[e_spec] * 7 + [f_prev, f_self, f_next] * 3,
+            in_specs=[e_spec, u_spec] + [e_spec] * 6
+            + [f_prev, f_self, f_next] * 3,
             out_specs=(e_spec, e_spec),
             out_shape=(eshape, eshape),
             interpret=interpret,
-        )(jnp.asarray(eb.nbq, jnp.int32), *coeffs,
+        )(jnp.asarray(eb.nbq, jnp.int32), _eb_used(eb), *coeffs,
           tsf_b, tsf_b, tsf_b, tgw_b, tgw_b, tgw_b, tkh_b, tkh_b, tkh_b)
     return tqs, tqb
 

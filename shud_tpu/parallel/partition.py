@@ -706,11 +706,17 @@ def _build_shard_edge_blocks(p, np_cells, nabr_loc, m_int_sh, m_bnd_sh,
     e0 = per_shard[0]
     fields = ["nbq", "edge", "dist", "rough_avg", "dzs", "dzb", "m_int",
               "m_bnd", "dist2edge", "dep", "rough_cell"]
+    # one shared shift range (the kernel shape is common to all shards);
+    # each shard's per-block used-shift mask re-offset into it
+    k_lo = min(eb.k_lo for eb in per_shard)
+    k_hi = max(eb.k_hi for eb in per_shard)
+    used = np.zeros((p, e0.nb, k_hi - k_lo + 1), np.int32)
+    for q, eb in enumerate(per_shard):
+        off = eb.k_lo - k_lo
+        used[q, :, off:off + eb.used.shape[1]] = eb.used
     return EdgeBlocks(
         blk=e0.blk, nb=e0.nb, bc=e0.bc, num_ele=e0.num_ele,
-        # one shared shift range (the kernel shape is common to all shards)
-        k_lo=min(eb.k_lo for eb in per_shard),
-        k_hi=max(eb.k_hi for eb in per_shard),
+        k_lo=k_lo, k_hi=k_hi, used=used,
         **{f: np.stack([getattr(eb, f) for eb in per_shard])
            for f in fields},
     )

@@ -755,7 +755,8 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
     riv = {k: conv(v) for k, v in sm.riv.items()}
     halo = {k: conv(v) for k, v in sm.halo.items()}
     _EB_FIELDS = ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
-                  "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")
+                  "m_int", "m_bnd", "dist2edge", "dep", "rough_cell",
+                  "used")
     if use_pallas:
         from shud_tpu.core.pallas_edge import _interpret_default
 

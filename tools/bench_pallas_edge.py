@@ -30,7 +30,7 @@ def build(nx: int, ny: int):
     from shud_tpu.utils.reorder import localize_project, permute_project
     from shud_tpu.utils.synthetic import make_synthetic_project
 
-    cache = f"/tmp/bench_pallas_{nx}x{ny}_v2.pkl"  # v2: EdgeBlocks k_lo/k_hi
+    cache = f"/tmp/bench_pallas_{nx}x{ny}_v3.pkl"  # v3: per-block used-shift masks
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)

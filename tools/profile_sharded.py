@@ -134,7 +134,8 @@ def kernel_probe():
         k_lo=eb.k_lo, k_hi=eb.k_hi,
         **{f: jnp.asarray(np.asarray(getattr(eb, f))[0])
            for f in ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
-                     "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")},
+                     "m_int", "m_bnd", "dist2edge", "dep", "rough_cell",
+                     "used")},
     )
     ne, nr = md.num_ele, md.num_riv
     rng = np.random.default_rng(1)
@@ -194,7 +195,8 @@ def kernel_probe():
     ebm = sm.edge_blocks
     fields = {f: jnp.asarray(np.asarray(getattr(ebm, f)))
               for f in ("nbq", "edge", "dist", "rough_avg", "dzs", "dzb",
-                        "m_int", "m_bnd", "dist2edge", "dep", "rough_cell")}
+                        "m_int", "m_bnd", "dist2edge", "dep", "rough_cell",
+                        "used")}
 
     def smk(sf_b, gw_b, kh_b, fb):
         def body(sf_l, gw_l, kh_l, f_l):

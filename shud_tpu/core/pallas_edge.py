@@ -462,7 +462,9 @@ def _window_gather(bc, k_lo, k_hi, nbq, parts, used_ref=None):
         else:
             # skip blocks with no gathered edge at this shift (per-block
             # band mask, computed at build time)
-            outs = jax.lax.cond(used_ref[0, s - k_lo] != 0,
+            from jax.experimental import pallas as pl
+
+            outs = jax.lax.cond(used_ref[pl.program_id(0), s - k_lo] != 0,
                                 sweep, lambda o: o, outs)
     return list(outs)
 
@@ -705,9 +707,10 @@ def _used_spec(eb, pl):
     scf.if conditions, which Mosaic requires to be scalar reads)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    nsh = eb.k_hi - eb.k_lo + 1
-    return pl.BlockSpec((1, nsh), lambda i: (i, 0),
-                        memory_space=pltpu.SMEM)
+    # whole [nb, nsh] table in scalar memory (Mosaic rejects partial
+    # blocks whose dims are neither 8/128-divisible nor the full array);
+    # kernels index rows by pl.program_id(0)
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 def _blocks_used_stats(eb):

@@ -75,11 +75,15 @@ def main():
                                 & (np.asarray(md.riv_to_lake) < 0))
         wpd = int(round(1440.0 / sim.inp.control.solver_step))
         qd = np.zeros(ndays)
+        area = np.asarray(md.area)
+        aet_sum = p_sum = 0.0
         d0 = 0
         t0 = time.time()
         while d0 < ndays:
             nd = min(int(args.chunk_days), ndays - d0)
-            _, _, _, qdowns = sim.advance_interval(nd * 1440.0)
+            mean_e, _, _, qdowns = sim.advance_interval(nd * 1440.0)
+            aet_sum += float(np.asarray(mean_e["eta"]) @ area) * nd
+            p_sum += float(np.asarray(mean_e["prcp"]) @ area) * nd
             qn = np.asarray(qdowns)[:, outlet].sum(axis=1)
             qd[d0 : d0 + nd] = np.abs(qn).reshape(nd, wpd).mean(axis=1)
             d0 += nd
@@ -87,7 +91,10 @@ def main():
         w0 = int(args.warmup)
         score = nse(sim_daily[w0:], obs_daily[w0:])
         nfe = int(sim.bdf.nfe)
+        ta = area.sum()
         print(f"{label}: NSE={score:.4f} over days {w0}..{ndays} "
+              f"AET={aet_sum/ndays*1440e3/ta:.2f} "
+              f"P={p_sum/ndays*1440e3/ta:.2f} mm/d "
               f"nfe={nfe} ({nfe/ndays:.0f}/day) "
               f"wall={time.time()-t0:.0f}s", flush=True)
         results.append((score, label, x, gc))

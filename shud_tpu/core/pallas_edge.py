@@ -90,6 +90,9 @@ class EdgeBlocks:
     used: np.ndarray = None  # [nb, k_hi-k_lo+1] i32: 1 if the block has
                              # any gathered edge at that row shift — the
                              # sweep lax.cond-skips unused shifts per block
+    use_skip: bool = False   # static build-time decision (see
+                             # _skip_worthwhile): skip only pays when the
+                             # shared shift range is wide and sparse
 
     # gather row-shift range: every gathered edge's window row lies within
     # [own_row + k_lo, own_row + k_hi] (own_row = bc + position chunk).
@@ -103,7 +106,7 @@ jax.tree_util.register_dataclass(
     EdgeBlocks,
     data_fields=["nbq", "edge", "dist", "rough_avg", "dzs", "dzb", "m_int",
                  "m_bnd", "dist2edge", "dep", "rough_cell", "used"],
-    meta_fields=["blk", "nb", "bc", "num_ele", "k_lo", "k_hi"],
+    meta_fields=["blk", "nb", "bc", "num_ele", "k_lo", "k_hi", "use_skip"],
 )
 
 
@@ -215,7 +218,7 @@ def build_edge_blocks_arrays(
         dist2edge=blk_edge(pad_edge(np.maximum(dist2edge, 1e-20))),
         dep=blk_cell(pad_cell(depression)),
         rough_cell=blk_cell(pad_cell(np.maximum(rough, 1e-20))),
-        used=used,
+        used=used, use_skip=_skip_worthwhile(used, k_lo, k_hi),
     )
 
 
@@ -243,7 +246,8 @@ def edge_blocks_to_device(eb: "EdgeBlocks | None") -> "EdgeBlocks | None":
     if eb is None:
         return None
     kw = {f: getattr(eb, f)
-          for f in ("blk", "nb", "bc", "num_ele", "k_lo", "k_hi")}
+          for f in ("blk", "nb", "bc", "num_ele", "k_lo", "k_hi",
+                    "use_skip")}
     for f in ("nbq", "m_int", "m_bnd", "used"):
         kw[f] = jnp.asarray(getattr(eb, f), jnp.int32)
     for f in ("edge", "dist", "rough_avg", "dzs", "dzb", "dist2edge",
@@ -474,6 +478,7 @@ def _rep3(v):
 
 
 def _edge_kernel(close_boundary: bool, bc: int, k_lo: int, k_hi: int,
+                 use_skip: bool,
                  nbq_ref, used_ref, edge_ref, dist_ref, ravg_ref, dzs_ref,
                  dzb_ref, mint_ref, mbnd_ref, d2e_ref,
                  dep_ref, rcell_ref,
@@ -484,7 +489,7 @@ def _edge_kernel(close_boundary: bool, bc: int, k_lo: int, k_hi: int,
     nsf_raw, ngw, nkh = _window_gather(
         bc, k_lo, k_hi, nbq,
         ((sf_p, gw_p, kh_p), (sf_s, gw_s, kh_s), (sf_n, gw_n, kh_n)),
-        used_ref)
+        used_ref if use_skip else None)
 
     isf = _rep3(jnp.maximum(sf_s[...], 0.0))
     gw3 = _rep3(gw_s[...])
@@ -525,7 +530,7 @@ def _mask_max0(x):
 
 
 def _edge_kernel_coeff(close_boundary: bool, bc: int, k_lo: int,
-                       k_hi: int,
+                       k_hi: int, use_skip: bool,
                        nbq_ref, used_ref, edge_ref, dist_ref, ravg_ref,
                        dzs_ref, dzb_ref, mint_ref, mbnd_ref, d2e_ref,
                        dep_ref, rcell_ref,
@@ -656,7 +661,7 @@ def _edge_kernel_coeff(close_boundary: bool, bc: int, k_lo: int,
         kj_ref[0] = jnp.where(m_int, k_j_int, zi)
 
 
-def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int,
+def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int, use_skip: bool,
                        nbq_ref, used_ref, si_ref, sj_ref, g1_ref, g2_ref,
                        ki_ref, kj_ref,
                        tsf_p, tsf_s, tsf_n, tgw_p, tgw_s, tgw_n,
@@ -671,7 +676,7 @@ def _edge_kernel_apply(bc: int, k_lo: int, k_hi: int,
     tnsf, tngw, tnkh = _window_gather(
         bc, k_lo, k_hi, nbq,
         ((tsf_p, tgw_p, tkh_p), (tsf_s, tgw_s, tkh_s),
-         (tsf_n, tgw_n, tkh_n)), used_ref)
+         (tsf_n, tgw_n, tkh_n)), used_ref if use_skip else None)
 
     t_sf3 = _rep3(tsf_s[...])
     t_gw3 = _rep3(tgw_s[...])
@@ -719,6 +724,27 @@ def _blocks_used_stats(eb):
     return float(u.sum(-1).mean()), int(u.sum(-1).max())
 
 
+def _skip_worthwhile(used, k_lo, k_hi) -> bool:
+    """BUILD-TIME decision (stored as the static EdgeBlocks.use_skip meta
+    field).  MEASURED AND REFUTED on the real chip (docs/PERF.md): even
+    on the 1M-cell mesh with k=[-6,6] and only 3.97 of 13 shifts used
+    per block on average, gating each shift behind lax.cond REGRESSES
+    the kernel (0.921 vs 0.839 ms same-day no-skip baseline) — Mosaic's
+    per-shift conditionals cost more than the skipped gather+selects.
+    Default off everywhere; SHUD_EDGE_SKIP=1 re-enables the sparse
+    heuristic for future hardware/compiler revisions."""
+    import os
+
+    if os.environ.get("SHUD_EDGE_SKIP", "0") in ("0", ""):
+        return False
+    if used is None:
+        return False
+    nsh = k_hi - k_lo + 1
+    if nsh < 6:
+        return False
+    return float(np.asarray(used).sum(-1).mean()) <= 0.5 * nsh
+
+
 def _cells(eb, v):
     npad = eb.nb * eb.blk
     v = jnp.asarray(v, jnp.float32)
@@ -735,9 +761,10 @@ def _eb_used(eb):
     """Per-block used-shift mask; all-ones fallback for EdgeBlocks built
     before the mask existed (old pickled partitions) — semantics identical,
     no skipping."""
-    if eb.used is None:
+    u = getattr(eb, "used", None)  # getattr: pre-round-4 pickled caches
+    if u is None:
         return jnp.ones((eb.nb, eb.k_hi - eb.k_lo + 1), jnp.int32)
-    return jnp.asarray(eb.used, jnp.int32)
+    return jnp.asarray(u, jnp.int32)
 
 
 def _static_args(eb):
@@ -757,7 +784,8 @@ def _edge_pallas_core(eb, sf, gw, effkh, close_boundary, interpret):
     sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
 
     kern = functools.partial(_edge_kernel, close_boundary, bc,
-                             eb.k_lo, eb.k_hi)
+                             eb.k_lo, eb.k_hi,
+                             getattr(eb, 'use_skip', False))
     u_spec = _used_spec(eb, pl)
     # Mosaic cannot lower 64-bit index/scalar types; scope out the global
     # jax_enable_x64 while tracing the kernel (all operands are 32-bit)
@@ -787,7 +815,8 @@ def _edge_pallas_coeff(eb, sf, gw, effkh, close_boundary, interpret):
     sf_b, gw_b, kh_b = _cells(eb, sf), _cells(eb, gw), _cells(eb, effkh)
 
     kern = functools.partial(_edge_kernel_coeff, close_boundary,
-                             bc, eb.k_lo, eb.k_hi)
+                             bc, eb.k_lo, eb.k_hi,
+                             getattr(eb, 'use_skip', False))
     u_spec = _used_spec(eb, pl)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):
@@ -815,7 +844,8 @@ def _edge_pallas_apply(eb, coeffs, tsf, tgw, tkh, interpret):
     tsf_b, tgw_b, tkh_b = _cells(eb, tsf), _cells(eb, tgw), _cells(eb, tkh)
 
     kern = functools.partial(_edge_kernel_apply, bc,
-                             eb.k_lo, eb.k_hi)
+                             eb.k_lo, eb.k_hi,
+                             getattr(eb, 'use_skip', False))
     u_spec = _used_spec(eb, pl)
     eshape = jax.ShapeDtypeStruct((nb, 3 * bc, 128), jnp.float32)
     with jax.enable_x64(False):

@@ -714,9 +714,12 @@ def _build_shard_edge_blocks(p, np_cells, nabr_loc, m_int_sh, m_bnd_sh,
     for q, eb in enumerate(per_shard):
         off = eb.k_lo - k_lo
         used[q, :, off:off + eb.used.shape[1]] = eb.used
+    from shud_tpu.core.pallas_edge import _skip_worthwhile
+
     return EdgeBlocks(
         blk=e0.blk, nb=e0.nb, bc=e0.bc, num_ele=e0.num_ele,
         k_lo=k_lo, k_hi=k_hi, used=used,
+        use_skip=_skip_worthwhile(used, k_lo, k_hi),
         **{f: np.stack([getattr(eb, f) for eb in per_shard])
            for f in fields},
     )

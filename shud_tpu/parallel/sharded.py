@@ -854,6 +854,7 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
                         blk=ebm.blk, nb=ebm.nb, bc=ebm.bc,
                         num_ele=ebm.num_ele,
                         k_lo=ebm.k_lo, k_hi=ebm.k_hi,
+                        use_skip=getattr(ebm, "use_skip", False),
                         **{f: halo_1[f"eb_{f}"] for f in _EB_FIELDS},
                     )
                     pk = (eb_l, interp)

@@ -764,7 +764,12 @@ def make_sharded_rhs(sm: ShardedMesh, devices=None, close_boundary=True,
                   else _interpret_default())
         ebm = sm.edge_blocks
         for f in _EB_FIELDS:
-            a = np.asarray(getattr(ebm, f))
+            v = getattr(ebm, f, None)
+            if v is None and f == "used":
+                # pre-round-4 pickled partitions: all-shifts-used masks
+                v = np.ones(
+                    (sm.p, ebm.nb, ebm.k_hi - ebm.k_lo + 1), np.int32)
+            a = np.asarray(v)
             halo[f"eb_{f}"] = jnp.asarray(
                 a, jnp.int32 if a.dtype.kind in "iu" else jnp.float32)
     lake_tbl = {}

@@ -99,3 +99,26 @@ def test_calib_from_vector_roundtrip():
 
     gc = calib_from_vector(["geol_ksath", "soil_kinf"], [2.5, 0.7])
     assert gc.geol_ksath == 2.5 and gc.soil_kinf == 0.7
+
+
+def test_published_calibration_goldens():
+    """Both published ccw calibration vectors parse and respect their
+    documented regimes (docs/VALIDATION.md round 4): the unconstrained
+    hydrograph optimum, and the water-balance-constrained vector whose
+    ET multiplier must stay inside the physical bounds it was searched
+    under (et_etp in [0.5, 2.0], ts_prcp in [0.89, 1.32])."""
+    import os
+
+    from shud_tpu.io.project import read_calib
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    opt = read_calib(os.path.join(gdir, "ccw.cfg.calib.opt"))
+    wb = read_calib(os.path.join(gdir, "ccw.cfg.calib.wb.opt"))
+    # the unconstrained optimum is the effective-parameter regime
+    assert opt.et_etp > 2.0
+    # the constrained vector is physical by construction
+    assert 0.5 <= wb.et_etp <= 2.0
+    assert 0.89 <= wb.ts_prcp <= 1.32
+    for gc in (opt, wb):
+        assert gc.geol_ksath > 0 and gc.soil_kinf > 0
+        assert gc.riv_rough > 0 and gc.lc_rough > 0

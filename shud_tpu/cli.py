@@ -66,6 +66,12 @@ def main(argv=None):
                         "to simulate a pod slice on CPU)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation-cache directory "
+                        "(default ~/.cache/shud_tpu, or "
+                        "$SHUD_COMPILE_CACHE; 'off' disables).  A process "
+                        "restart reuses compiled programs instead of "
+                        "re-paying the day-1 compile cost (docs/PERF.md)")
     p.add_argument("--cmaes-dir", default=None, metavar="DIR",
                    help="external-calibration exchange directory (the "
                         "reference's -e dir_cmaes hook, CommandIn.cpp:"
@@ -82,6 +88,8 @@ def main(argv=None):
                         "= Cloud TPU autodetect; combine with --shards "
                         "<global device count>)")
     args = p.parse_args(argv)
+
+    _setup_compile_cache(args.compile_cache)
 
     if args.distributed is not None:
         from shud_tpu.parallel.runtime import init_distributed
@@ -131,16 +139,41 @@ def main(argv=None):
         p.error("-p is supported with the default (fused) driver only")
 
     if args.shards is not None:
+        # every reference mode is either honoured or rejected loudly under
+        # --shards (no silent drops): -g has no sharded sub-solver set, -0
+        # is mode-independent (CommandIn.cpp:195-197), --profile wraps the
+        # sharded run exactly as it wraps the fused one
+        if args.split:
+            p.error("-g (operator-split) is not supported with --shards; "
+                    "run the split driver single-chip")
+        if args.per_window:
+            p.error("--per-window is not supported with --shards (the "
+                    "sharded driver is interval-batched by design)")
+        if args.dummy:
+            # -0: full IO pipeline, no solving — identical in every mode
+            from shud_tpu.driver.run import run_project
+
+            run_project(args.project, base=args.base, end_day=args.end_day,
+                        verbose=not args.quiet, dummy=True,
+                        outpath=args.output, calib=calib)
+            return
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
         from shud_tpu.parallel.runtime import run_project_sharded
 
-        run_project_sharded(args.project, base=args.base, p=args.shards,
-                            end_day=args.end_day, verbose=not args.quiet,
-                            outpath=args.output,
-                            float_dtype=jnp.float32 if args.f32 else None,
-                            use_pallas=bool(args.pallas and args.f32),
-                            resume=args.resume, calib=calib)
+        prof = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
+        with prof:
+            run_project_sharded(args.project, base=args.base, p=args.shards,
+                                end_day=args.end_day,
+                                verbose=not args.quiet,
+                                outpath=args.output,
+                                float_dtype=jnp.float32 if args.f32 else None,
+                                use_pallas=bool(args.pallas and args.f32),
+                                resume=args.resume, calib=calib)
         return
 
     if args.split:
@@ -194,6 +227,34 @@ def main(argv=None):
             _write_cmaes_objective(args.cmaes_dir, args.project, args.base,
                                    args.output, calib,
                                    quiet=args.quiet)
+
+
+def _setup_compile_cache(cache_dir: "str | None",
+                         min_compile_secs: float = 1.0) -> "str | None":
+    """Wire JAX's persistent compilation cache (on by default).
+
+    The sharded production driver's cold start costs ~310 s of XLA
+    compiles over the TPU tunnel per configuration (docs/PERF.md), paid
+    again on every process restart; with the cache a warm restart replays
+    the compiled programs from disk in seconds.  Sub-second compiles are
+    NOT cached (``min_compile_secs``): they gain nothing, and reloading
+    XLA:CPU AOT entries for the tiny host-side helper programs spams
+    machine-feature-mismatch warnings on every start."""
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("SHUD_COMPILE_CACHE") or os.path.join(
+            os.path.expanduser("~"), ".cache", "shud_tpu")
+    if cache_dir == "off":
+        return None
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
 
 
 def _apply_cmaes_dir(dir_cmaes: str, base_calib):

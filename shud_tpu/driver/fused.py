@@ -70,7 +70,12 @@ PER_EDGE_KEYS = ["q_esub0", "q_esub1", "q_esub2",
 ACCUM_RIV_KEYS = ["q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf",
                   "y_riv"]
 ACCUM_LAKE_KEYS = ["y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
-                   "q_lake_rivin", "q_lake_surf", "q_lake_sub"]
+                   "q_lake_rivin", "q_lake_surf", "q_lake_sub",
+                   # always-zero river outflow: the reference registers the
+                   # channel (MD_initialize.cpp:339) but never accumulates
+                   # QLakeRivOut (zeroed at MD_update.cpp:184) — emitted as
+                   # zeros for reference file-set parity (IO.cpp:177)
+                   "q_lake_rivout"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_windows", "win_minutes",
@@ -358,6 +363,7 @@ def run_interval(
                 "q_lake_rivin": diag["q_lake_rivin"],
                 "q_lake_surf": diag["q_lake_surf"],
                 "q_lake_sub": diag["q_lake_sub"],
+                "q_lake_rivout": jnp.zeros_like(diag["lake_area"]),
             }
             acc_l = {k: acc_l[k] + vals_l[k] for k in ACCUM_LAKE_KEYS}
         return (st, out.state, cryo, acc_e, acc_r, acc_l), (riv_stage,

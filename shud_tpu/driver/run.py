@@ -74,6 +74,9 @@ class OutputManager:
             ch("lakvevap", cs.dt_lake, "q_lake_evap", True, nl)
             ch("lakvprcp", cs.dt_lake, "q_lake_prcp", True, nl)
             ch("lakqrivin", cs.dt_lake, "q_lake_rivin", True, nl)
+            # zeros channel for reference file-set parity (dead
+            # accumulation in the reference, MD_update.cpp:184; IO.cpp:177)
+            ch("lakqrivout", cs.dt_lake, "q_lake_rivout", True, nl)
             ch("lakqsurf", cs.dt_lake, "q_lake_surf", True, nl)
             ch("lakqsub", cs.dt_lake, "q_lake_sub", True, nl)
 
@@ -133,6 +136,7 @@ def collect_values(sim: Simulation, fs, cf, diag) -> dict:
             q_lake_evap=d["q_lake_evap"], q_lake_prcp=d["q_lake_prcp"],
             q_lake_rivin=d["q_lake_rivin"], q_lake_surf=d["q_lake_surf"],
             q_lake_sub=d["q_lake_sub"],
+            q_lake_rivout=np.zeros(nl),
         )
     return vals, y
 

@@ -273,6 +273,44 @@ class UncoupledStates:
     lake: object = None  # None when the mesh has no lakes
 
 
+# module-level sub-RHS adapters with STABLE identities: solve_to jits on
+# the static `f` argument, so per-window closures would recompile all five
+# sub-programs EVERY window (measured: ~8 MB/s of leaked executables and a
+# 70x wall penalty on multi-day runs).  Frozen stage states ride in the
+# `params` pytree instead; `close_boundary` is baked per-value via
+# functools.lru_cache.
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _split_fns(close_boundary: bool):
+    def f1(tt, yy, p):  # surface
+        dm, fs, (us0, gw0, riv0, lake0) = p
+        return rhs_surf(dm, fs, tt, yy, us0, gw0, riv0, lake0,
+                        close_boundary)
+
+    def f2(tt, yy, p):  # unsaturated
+        dm, fs, (sf1, gw0) = p
+        return rhs_unsat(dm, fs, tt, yy, sf1, gw0, close_boundary)
+
+    def f3(tt, yy, p):  # groundwater
+        dm, fs, (sf1, us1, riv0, q_rech0, q_exfil0, evapo0, trans0,
+                 lake0) = p
+        return rhs_gw(dm, fs, tt, yy, sf1, us1, riv0, q_rech0, q_exfil0,
+                      evapo0, trans0, lake0, close_boundary)
+
+    def f4(tt, yy, p):  # river
+        dm, fs, (q_riv_surf0, q_riv_sub0) = p
+        return rhs_river(dm, fs, tt, yy, q_riv_surf0, q_riv_sub0)
+
+    def f5(tt, yy, p):  # lake
+        dm, fs, (sf1, us1, gw1, q_lake_rivin0) = p
+        return rhs_lake(dm, fs, tt, yy, sf1, us1, gw1, q_lake_rivin0,
+                        close_boundary)
+
+    return f1, f2, f3, f4, f5
+
+
 def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
                              t: float, tout: float, cfg: SolverConfig,
                              close_boundary=True):
@@ -280,26 +318,20 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
     advanced over [t, tout] by its own adaptive implicit solver instance."""
     ne, nr = dm.area.shape[0], dm.riv_length.shape[0]
     has_lake = dm.num_lake > 0 and states.lake is not None
+    f1, f2, f3, f4, f5 = _split_fns(bool(close_boundary))
 
-    sf0 = jnp.maximum(states.surf.y, 0.0)
     us0 = jnp.maximum(states.unsat.y, 0.0)
     gw0 = jnp.maximum(states.gw.y, 0.0)
     riv0 = jnp.maximum(states.riv.y, 0.0)
     lake0 = jnp.maximum(states.lake.y, 0.0) if has_lake else None
 
     # 1) surface
-    def f1(tt, yy, p):
-        return rhs_surf(dm, fs, tt, yy, us0, gw0, riv0, lake0,
-                        close_boundary)
-
-    st1 = solve_to(f1, states.surf, tout, None, cfg)
+    st1 = solve_to(f1, states.surf, tout,
+                   (dm, fs, (us0, gw0, riv0, lake0)), cfg)
     sf1 = jnp.maximum(st1.y, 0.0)
 
     # 2) unsaturated
-    def f2(tt, yy, p):
-        return rhs_unsat(dm, fs, tt, yy, sf1, gw0, close_boundary)
-
-    st2 = solve_to(f2, states.unsat, tout, None, cfg)
+    st2 = solve_to(f2, states.unsat, tout, (dm, fs, (sf1, gw0)), cfg)
     us1 = jnp.maximum(st2.y, 0.0)
 
     # 3) groundwater: freeze recharge/exfil/ET at the staged states
@@ -313,11 +345,10 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
         q_rech0 = jnp.where(is_lake, 0.0, q_rech0)
         q_exfil0 = jnp.where(is_lake, 0.0, q_exfil0)
 
-    def f3(tt, yy, p):
-        return rhs_gw(dm, fs, tt, yy, sf1, us1, riv0, q_rech0, q_exfil0,
-                      es + eu + eg, tu + tg, lake0, close_boundary)
-
-    st3 = solve_to(f3, states.gw, tout, None, cfg)
+    st3 = solve_to(
+        f3, states.gw, tout,
+        (dm, fs, (sf1, us1, riv0, q_rech0, q_exfil0, es + eu + eg,
+                  tu + tg, lake0)), cfg)
     gw1 = jnp.maximum(st3.y, 0.0)
 
     # 4) river: freeze exchange fluxes at staged states
@@ -332,10 +363,8 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
     q_riv_surf0 = segment_sum(q_seg_s, dm.seg_riv, num_segments=nr)
     q_riv_sub0 = segment_sum(q_seg_b, dm.seg_riv, num_segments=nr)
 
-    def f4(tt, yy, p):
-        return rhs_river(dm, fs, tt, yy, q_riv_surf0, q_riv_sub0)
-
-    st4 = solve_to(f4, states.riv, tout, None, cfg)
+    st4 = solve_to(f4, states.riv, tout,
+                   (dm, fs, (q_riv_surf0, q_riv_sub0)), cfg)
 
     # 5) lake: freeze element states and river inflow at staged values
     st5 = states.lake
@@ -349,11 +378,8 @@ def advance_window_uncoupled(dm, fs: ForcingSlice, states: UncoupledStates,
             jnp.where(to_lake, q_rd1, 0.0), tl, num_segments=nl
         )
 
-        def f5(tt, yy, p):
-            return rhs_lake(dm, fs, tt, yy, sf1, us1, gw1, q_lake_rivin0,
-                            close_boundary)
-
-        st5 = solve_to(f5, states.lake, tout, None, cfg)
+        st5 = solve_to(f5, states.lake, tout,
+                       (dm, fs, (sf1, us1, gw1, q_lake_rivin0)), cfg)
 
     return UncoupledStates(surf=st1, unsat=st2, gw=st3, riv=st4, lake=st5)
 
@@ -388,76 +414,270 @@ def init_uncoupled(y0: np.ndarray, ne: int, nr: int, t0: float,
     )
 
 
+class _SplitCheckpointShim:
+    """Adapter giving the split driver's 5-solver state the
+    ``.bdf/.buckets/.cryo/.t`` surface that ``io.checkpoint`` expects
+    (the bdf slot holds a dict pytree of the five BDFStates)."""
+
+    def __init__(self, states: UncoupledStates, buckets, t: float):
+        self.bdf = {"surf": states.surf, "unsat": states.unsat,
+                    "gw": states.gw, "riv": states.riv,
+                    "lake": states.lake}
+        self.buckets = buckets
+        self.cryo = None
+        self.t = t
+
+    def states(self) -> UncoupledStates:
+        return UncoupledStates(**self.bdf)
+
+
 def run_project_split(project: str, base: str = ".", end_day=None,
-                      verbose=True, outpath=None, calib=None, **overrides):
+                      verbose=True, outpath=None, calib=None, inp=None,
+                      resume=None, **overrides):
     """Operator-split full run (the reference's ``-g`` driver loop,
     shud.cpp:171-357): per window, a Gauss-Seidel sweep of the five
-    sub-solvers; daily state outputs.  ``overrides`` are Control_Data
-    attribute overrides (e.g. ``solver_step=60.0``), as in the fast
-    driver."""
+    sub-solvers, then the FULL output stack the reference runs every step
+    — ``ExportResults`` + ``FloodWarning`` + ``PrintInit``
+    (shud.cpp:316-323) — via the same ``IntervalWriter`` / flood / WB /
+    restart / checkpoint machinery as the implicit production driver, so
+    a ``-g`` run can be flood-monitored, budget-checked, and resumed.
+    ``overrides`` are Control_Data attribute overrides (e.g.
+    ``solver_step=60.0``), as in the fast driver."""
     import os
     import time
 
     import numpy as np
 
+    from shud_tpu.core.rhs import rhs_full
+    from shud_tpu.diag.waterbalance import WaterBalance
+    from shud_tpu.driver.run_fast import IntervalWriter
     from shud_tpu.driver.simulate import Simulation
-    from shud_tpu.io.output import PrintCtrl, TimeLog
+    from shud_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from shud_tpu.io.output import FloodAlert, TimeLog, write_restart
+    from shud_tpu.io.project import write_calib
+    from shud_tpu.utils.errors import NanError
 
-    sim = Simulation.create(project, base=base, calib=calib, **overrides)
+    if end_day is not None:
+        overrides.setdefault("day_end", end_day)
+    sim = Simulation.create(project, base=base, calib=calib,
+                            **overrides) if inp is None else \
+        _sim_from_inp(inp, calib, overrides)
     if outpath:
         sim.inp.paths.outpath = outpath
     cs = sim.inp.control
-    md, dm, fr = sim.md, sim.dm, sim.fr
+    md, dm = sim.md, sim.dm
     ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     paths = sim.inp.paths
     os.makedirs(paths.outpath, exist_ok=True)
     t_end = cs.end_time if end_day is None else end_day * 1440.0
+    cb = bool(cs.close_boundary)
 
     states = init_uncoupled(np.asarray(sim.bdf.y), ne, nr, cs.start_time,
                             sim.cfg, nl=nl)
-    chan_spec = [("eleysurf", ne), ("eleyunsat", ne), ("eleygw", ne),
-                 ("rivystage", nr)]
-    if nl > 0:
-        chan_spec.append(("lakystage", nl))
-    chans = {}
-    for name, n in chan_spec:
-        chans[name] = PrintCtrl(
-            os.path.join(paths.outpath, f"{paths.project}.{name}"),
-            sim.inp.forc.start_yyyymmdd, 1440, False, n,
-        )
-    tlog = TimeLog(os.path.join(paths.outpath,
-                                f"{paths.project}.time.csv"))
-    wall0 = time.time()
-    t = cs.start_time
-    step = cs.solver_step
-    while t < t_end - 1e-9:
-        tout = min(t + step, t_end)
-        fs, cf = sim.forcing_slice(tout)
-        states = advance_window_uncoupled(dm, fs, states, t, tout, sim.cfg)
-        t = tout
-        # one batched device fetch per window (tunnel-latency-bound on
-        # axon; same fix as the production driver's batched fetches)
-        fetch = [states.surf.y, states.unsat.y, states.gw.y, states.riv.y]
-        if nl > 0:
-            fetch.append(states.lake.y)
-        import jax
+    if resume:
+        shim = _SplitCheckpointShim(states, sim.buckets, sim.t)
+        load_checkpoint(resume, shim)
+        states = shim.states()
+        sim.buckets = shim.buckets
+        sim.t = float(shim.t)
+        if verbose:
+            print(f"resumed from {resume} at t={sim.t/1440.0:.2f} days")
 
-        host = jax.device_get(tuple(fetch))
-        vals = {
-            "eleysurf": host[0],
-            "eleyunsat": host[1],
-            "eleygw": host[2],
-            "rivystage": host[3],
+    writer = IntervalWriter(sim)
+    interval = writer.interval
+    flood = FloodAlert(
+        os.path.join(paths.outpath, f"{paths.project}.flood.csv"),
+        md.riv_depth,
+    )
+    tlog = TimeLog(os.path.join(paths.outpath, f"{paths.project}.time.csv"))
+    wb = WaterBalance(
+        md, os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv"))
+    write_calib(sim.inp.calib,
+                os.path.join(paths.outpath,
+                             f"{paths.project}.cfg.calib.bak"))
+    paths.save_project_file()
+    if os.environ.get("SHUD_DEBUG_TABLES", "0") not in ("0", ""):
+        from shud_tpu.io.debugtables import write_debug_tables
+
+        write_debug_tables(md, sim.inp, paths.outpath)
+
+    import jax
+    import jax.numpy as jnp
+
+    per_edge = bool(cs.dt_Qe_subx > 0 or cs.dt_Qe_surfx > 0)
+
+    @jax.jit
+    def _window_vals(y_dense, fs, cf, ic, snow):
+        """Channel values at the composed split state — the same field
+        set the fused driver accumulates (fused.py vals_e/_r/_l), one
+        diag RHS eval per window (reference ExportResults semantics)."""
+        _, d = rhs_full(dm, fs, 0.0, y_dense, close_boundary=cb)
+        e_ic = d["e_ic"]
+        ve = {
+            "y_ic": ic, "y_snow": snow,
+            "y_surf": y_dense[:ne], "y_unsat": y_dense[ne:2 * ne],
+            "y_gw": y_dense[2 * ne:3 * ne],
+            "prcp": cf.prcp, "net_prcp": fs.net_prcp, "etp": cf.etp,
+            "eta": e_ic + d["es"] + d["eu"] + d["eg"] + d["tu"] + d["tg"],
+            "rn_h": cf.rn_h, "rn_t": cf.rn_t, "rn_factor": cf.rn_factor,
+            "q_rech": d["q_rech"], "q_sub_tot": d["q_sub_tot"],
+            "q_surf_tot": d["q_surf_tot"], "q_e2r_sub": d["q_e2r_sub"],
+            "q_e2r_surf": d["q_e2r_surf"], "q_infil": d["q_infil"],
+            "q_exfil": d["q_exfil"], "e_ic": e_ic,
+            "trans": d["tu"] + d["tg"],
+            "evapo": d["es"] + d["eu"] + d["eg"],
         }
+        if per_edge:
+            for j in range(3):
+                ve[f"q_esub{j}"] = d["q_esub"][:, j]
+                ve[f"q_esurf{j}"] = d["q_esurf"][:, j]
+        vr = {
+            "q_riv_up": d["q_riv_up"], "q_riv_down": d["q_riv_down"],
+            "q_riv_sub": d["q_riv_sub"], "q_riv_surf": d["q_riv_surf"],
+            "y_riv": y_dense[3 * ne:3 * ne + nr],
+        }
+        vl = {}
         if nl > 0:
-            vals["lakystage"] = host[4]
-        for name, pc in chans.items():
-            pc.push(t, vals[name])
-        if verbose and abs(t % 1440.0) < 1e-6:
-            print(f"{t/1440.0:8.2f} day\t{time.time()-wall0:8.2f} s")
-            tlog.write(t, 100.0 * t / t_end, 0.0, time.time() - wall0,
-                       int(states.surf.nfe))
-    for pc in chans.values():
-        pc.close()
+            vl = {
+                "y_lake": y_dense[3 * ne + nr:],
+                "lake_area": d["lake_area"],
+                "q_lake_evap": d["q_lake_evap"],
+                "q_lake_prcp": d["q_lake_prcp"],
+                "q_lake_rivin": d["q_lake_rivin"],
+                "q_lake_surf": d["q_lake_surf"],
+                "q_lake_sub": d["q_lake_sub"],
+                "q_lake_rivout": jnp.zeros_like(d["lake_area"]),
+            }
+        return ve, vr, vl
+
+    def _dense(st: UncoupledStates):
+        parts = [st.surf.y, st.unsat.y, st.gw.y, st.riv.y]
+        if nl > 0:
+            parts.append(st.lake.y)
+        return jnp.concatenate(parts)
+
+    def _restart(path, t, host_y, ic, snow):
+        write_restart(
+            path, t, ic, snow, host_y[:ne], host_y[ne:2 * ne],
+            host_y[2 * ne:3 * ne], host_y[3 * ne:3 * ne + nr],
+            host_y[3 * ne + nr:] if nl else None,
+        )
+
+    host0 = jax.device_get({"y": _dense(states), "ic": sim.buckets.ic_stg,
+                            "snow": sim.buckets.snow})
+    _restart(os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"),
+             0.0, host0["y"], host0["ic"], host0["snow"])
+
+    from shud_tpu.utils.timectx import TimeContext
+
+    tc = TimeContext(sim.inp.forc.start_yyyymmdd)
+    wall0 = time.time()
+    cpu0 = time.process_time()
+    last_nfe = 0
+    t = sim.t
+    step = cs.solver_step
+    y_host, bk_host = host0["y"], (host0["ic"], host0["snow"])
+    while t < t_end - 1e-9:
+        this_int = min(interval, t_end - t)
+        t0, y0, bk0 = t, y_host, bk_host
+        acc_e = acc_r = acc_l = None
+        nwin = 0
+        while t < t0 + this_int - 1e-9:
+            tout = min(t + step, t0 + this_int)
+            fs, cf = sim.forcing_slice(tout)
+            states = advance_window_uncoupled(dm, fs, states, t, tout,
+                                              sim.cfg, close_boundary=cb)
+            t = tout
+            y_dense = _dense(states)
+            ve, vr, vl = _window_vals(y_dense, fs, cf,
+                                      sim.buckets.ic_stg,
+                                      sim.buckets.snow)
+            # one batched fetch per window (as the per-window driver)
+            host = jax.device_get({"e": ve, "r": vr, "l": vl,
+                                   "y": y_dense})
+            nwin += 1
+            if acc_e is None:
+                acc_e, acc_r, acc_l = host["e"], host["r"], host["l"]
+            else:
+                acc_e = {k: acc_e[k] + host["e"][k] for k in acc_e}
+                acc_r = {k: acc_r[k] + host["r"][k] for k in acc_r}
+                acc_l = {k: acc_l[k] + host["l"][k] for k in acc_l}
+            flood.check(t, host["r"]["y_riv"], host["r"]["q_riv_down"])
+        y_host = host["y"]
+        bk_host = (host["e"]["y_ic"], host["e"]["y_snow"])
+        mean_e = {k: v / nwin for k, v in acc_e.items()}
+        mean_r = {k: v / nwin for k, v in acc_r.items()}
+        mean_l = {k: v / nwin for k, v in acc_l.items()}
+        writer.write(t, mean_e, mean_r, mean_l)
+        wb.interval(t0, t, y0, y_host, mean_e, mean_r, buckets0=bk0,
+                    buckets1=bk_host, mean_lake=mean_l if nl else None)
+        nfe = sum(int(s.nfe) for s in
+                  (states.surf, states.unsat, states.gw, states.riv)) \
+            + (int(states.lake.nfe) if nl else 0)
+        perc = 100.0 * (t - cs.start_time) / (t_end - cs.start_time)
+        if verbose:
+            print(f"{tc.iso(t)}\t{t/1440.0:8.2f} day\t{perc:6.2f}%\t"
+                  f"{time.time()-wall0:8.2f} s\t{nfe - last_nfe}\t(split)",
+                  flush=True)
+        tlog.write(t, perc, time.process_time() - cpu0,
+                   time.time() - wall0, nfe - last_nfe)
+        last_nfe = nfe
+        if int(t) % cs.update_ic_step == 0 or t >= t_end - 1e-9:
+            if not np.isfinite(y_host).all():
+                bad = int(np.flatnonzero(~np.isfinite(y_host))[0])
+                raise NanError(
+                    f"non-finite state at t={t:.1f} min (index {bad})")
+            _restart(
+                os.path.join(paths.outpath,
+                             f"{paths.project}.cfg.ic.update"),
+                t, y_host, bk_host[0], bk_host[1])
+            save_checkpoint(
+                os.path.join(paths.outpath, f"{paths.project}.ckpt.npz"),
+                _SplitCheckpointShim(states, sim.buckets, t))
+    writer.close()
+    flood.close()
     tlog.close()
+    wb.close()
+    if verbose:
+        print(f"\nFinal stats (split): nfe_total={nfe} "
+              f"(surf {int(states.surf.nfe)}, unsat {int(states.unsat.nfe)},"
+              f" gw {int(states.gw.nfe)}, riv {int(states.riv.nfe)}"
+              + (f", lake {int(states.lake.nfe)}" if nl else "")
+              + f"); wall {time.time()-wall0:.1f} s")
     return states
+
+
+def _sim_from_inp(inp, calib, overrides):
+    """Simulation.create for an in-memory ProjectInput (synthetic tests)."""
+    import jax.numpy as jnp
+
+    from shud_tpu.core.device import to_device
+    from shud_tpu.core.landsurface import BucketState
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.driver.forcing import build_forcing
+    from shud_tpu.driver.init import initial_buckets, initial_state
+    from shud_tpu.driver.simulate import Simulation
+    from shud_tpu.io.validate import check_input
+
+    if calib is not None:
+        inp.calib = calib
+    for k, v in overrides.items():
+        setattr(inp.control, k, v)
+    check_input(inp)
+    md = build_mesh(inp)
+    dm = to_device(md)
+    fr = build_forcing(inp, md)
+    cs = inp.control
+    cfg = SolverConfig(rtol=cs.reltol, atol=cs.abstol, h_init=cs.init_step,
+                       h_max=cs.max_step)
+    y0 = initial_state(inp, md)
+    ic0, snow0 = initial_buckets(inp, md)
+    from shud_tpu.solver.bdf import bdf_init as _bi
+
+    return Simulation(
+        inp=inp, md=md, dm=dm, fr=fr, cfg=cfg,
+        bdf=_bi(cs.start_time, jnp.asarray(y0), cfg),
+        buckets=BucketState(ic_stg=jnp.asarray(ic0),
+                            snow=jnp.asarray(snow0)),
+        t=cs.start_time,
+    )

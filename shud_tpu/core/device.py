@@ -25,6 +25,35 @@ jax.tree_util.register_dataclass(
 )
 
 
+def device_get_global(tree):
+    """``jax.device_get`` that also works under multi-process execution.
+
+    Single process: a plain ``device_get``.  Multi-process
+    (``jax.distributed``): globally-sharded arrays are not addressable per
+    process, so the tree is first passed through a jitted identity with
+    fully-REPLICATED out-shardings (one XLA all-gather over ICI/DCN — the
+    ``multihost_utils.process_allgather`` pattern), after which every
+    process holds complete copies and ``device_get`` is legal.  This is
+    the multi-host interval fetch of the sharded production driver (the
+    reference has no analogue — its parallel mode is shared-memory OpenMP,
+    shud.cpp:56-64)."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for leaf in jax.tree_util.tree_leaves(tree):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and getattr(sh, "mesh", None) is not None:
+            mesh = sh.mesh
+            break
+    if mesh is None:  # host-only tree
+        return jax.device_get(tree)
+    rep = NamedSharding(mesh, PartitionSpec())
+    gathered = jax.jit(lambda tr: tr, out_shardings=rep)(tree)
+    return jax.device_get(gathered)
+
+
 def to_device(md: MeshData, float_dtype=jnp.float64) -> MeshData:
     """Move all array fields to device, casting floats to *float_dtype* and
     index arrays to int32."""

@@ -104,9 +104,11 @@ def interval_samples(
     day_idx = np.clip((tk // 1440.0).astype(int), 0, max_day - 1)
     doy = doy_tab[day_idx]
 
-    # host-side precompute MUST run on CPU: eager per-op dispatch to a
-    # (possibly remote) TPU would turn this setup step into minutes
-    with jax.default_device(jax.devices("cpu")[0]):
+    # host-side precompute MUST run on a LOCAL CPU device: eager per-op
+    # dispatch to a (possibly remote) TPU would turn this setup step into
+    # minutes, and under multi-process execution jax.devices() includes
+    # other ranks' devices whose values this process cannot fetch
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         cosz, az, _ = solar_position(
             jnp.asarray(tk), jnp.asarray(doy), lat_deg, lon_deg, 0.0
         )

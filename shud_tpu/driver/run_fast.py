@@ -22,13 +22,20 @@ from shud_tpu.utils.errors import NanError
 
 
 class IntervalWriter:
-    """Binds fused-interval means to Print_Ctrl-format files."""
+    """Binds fused-interval means to Print_Ctrl-format files.
 
-    def __init__(self, sim: FusedSimulation):
+    ``io_enabled=False`` runs the full channel-registration logic (so the
+    output ``interval`` is identical) but opens NO files — non-zero ranks
+    of a multi-process sharded run need the interval without competing for
+    the process-0-owned output files."""
+
+    def __init__(self, sim: FusedSimulation, io_enabled: bool = True):
         cs = sim.inp.control
         paths = sim.inp.paths
         md = sim.md
-        os.makedirs(paths.outpath, exist_ok=True)
+        self.io_enabled = io_enabled
+        if io_enabled:
+            os.makedirs(paths.outpath, exist_ok=True)
         start = sim.inp.forc.start_yyyymmdd
         b, a = bool(cs.binary), bool(cs.ascii)
         self.channels = []
@@ -48,6 +55,8 @@ class IntervalWriter:
                         f"{name} has {dt} != {self.interval} "
                         "(use the per-window driver instead)"
                     )
+                if not io_enabled:
+                    return
                 import numpy as _np
 
                 mk = "lake" if riv == "lake" else ("riv" if riv else "ele")
@@ -62,7 +71,7 @@ class IntervalWriter:
         self.nc = None
         self.nc_riv = None
         self.nc_lake = None
-        if cs.output_mode in ("NETCDF", "BOTH"):
+        if cs.output_mode in ("NETCDF", "BOTH") and io_enabled:
             from shud_tpu.io.ncoutput import UgridSink, read_ncoutput_cfg
 
             nccfg = read_ncoutput_cfg(
@@ -132,6 +141,12 @@ class IntervalWriter:
             ch("lakvevap", cs.dt_lake, "q_lake_evap", True, nl, riv="lake")
             ch("lakvprcp", cs.dt_lake, "q_lake_prcp", True, nl, riv="lake")
             ch("lakqrivin", cs.dt_lake, "q_lake_rivin", True, nl, riv="lake")
+            # the reference registers lakqrivout (MD_initialize.cpp:339) but
+            # its QLakeRivOut is never accumulated — zeroed every RHS call at
+            # MD_update.cpp:184 — so the channel is identically zero; emitted
+            # for 1:1 file-set parity with IO.cpp:176-177
+            ch("lakqrivout", cs.dt_lake, "q_lake_rivout", True, nl,
+               riv="lake")
             ch("lakqsurf", cs.dt_lake, "q_lake_surf", True, nl, riv="lake")
             ch("lakqsub", cs.dt_lake, "q_lake_sub", True, nl, riv="lake")
         if self.nc is not None:

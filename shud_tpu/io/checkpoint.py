@@ -43,8 +43,14 @@ def save_checkpoint(path: str, sim) -> None:
     """Write the complete simulation state (device pytrees fetched to host).
 
     One batched ``jax.device_get`` — per-leaf ``np.asarray`` fetches each
-    pay a full round-trip through the TPU tunnel."""
-    tree = jax.device_get(_state_tree(sim))
+    pay a full round-trip through the TPU tunnel.  Multi-process: the
+    fetch is a COLLECTIVE (all ranks replicate the sharded leaves), and
+    only process 0 touches the file."""
+    from shud_tpu.core.device import device_get_global
+
+    tree = device_get_global(_state_tree(sim))
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     payload = {"__t__": np.asarray(float(sim.t))}
     for kp, leaf in leaves:

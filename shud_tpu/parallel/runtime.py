@@ -123,7 +123,10 @@ _ACC_BLK = ("q_rech", "q_sub_tot", "q_surf_tot", "q_e2r_sub", "q_e2r_surf",
             "y_surf", "y_unsat", "y_gw")
 _ACC_RIV = ("q_riv_up", "q_riv_down", "q_riv_sub", "q_riv_surf", "y_riv")
 _ACC_LAKE = ("y_lake", "lake_area", "q_lake_evap", "q_lake_prcp",
-             "q_lake_rivin", "q_lake_surf", "q_lake_sub")
+             "q_lake_rivin", "q_lake_surf", "q_lake_sub",
+             # always-zero in the reference (dead accumulation,
+             # MD_update.cpp:184); emitted for file-set parity
+             "q_lake_rivout")
 _ACC_DENSE = ("prcp", "net_prcp", "etp", "rn_h", "rn_t", "rn_factor",
               "y_ic", "y_snow")
 
@@ -147,8 +150,9 @@ def _accum_interval(tree, diag, extras, y, buckets):
     riv = {k: tree["riv"][k] + diag[k] for k in _ACC_RIV if k != "y_riv"}
     riv["y_riv"] = tree["riv"]["y_riv"] + y["riv"]
     lake = {k: tree["lake"][k] + diag[k] for k in _ACC_LAKE
-            if k != "y_lake"}
+            if k not in ("y_lake", "q_lake_rivout")}
     lake["y_lake"] = tree["lake"]["y_lake"] + y["lake"]
+    lake["q_lake_rivout"] = tree["lake"]["q_lake_rivout"]  # stays zero
     d = tree["dense"]
     dense = {k: d[k] + extras[k] for k in _ACC_DENSE
              if k not in ("y_ic", "y_snow")}
@@ -164,16 +168,94 @@ _RHS_CACHE: dict[tuple, tuple] = {}
 
 
 def _cached_sharded_rhs(sm: ShardedMesh, float_dtype=None,
-                        use_pallas: bool = False):
-    key = (id(sm), str(float_dtype), use_pallas)
+                        use_pallas: bool = False,
+                        close_boundary: bool = True):
+    key = (id(sm), str(float_dtype), use_pallas, close_boundary)
     if key not in _RHS_CACHE:
         _RHS_CACHE.clear()  # keep at most one mesh alive (avoid id reuse bugs)
         _RHS_CACHE[key] = (
             sm,
             make_sharded_rhs(sm, float_dtype=float_dtype,
-                             use_pallas=use_pallas, with_diag=True),
+                             use_pallas=use_pallas, with_diag=True,
+                             close_boundary=close_boundary),
         )
     return _RHS_CACHE[key][1]
+
+
+def _make_quad_fn(diag_fn, close_boundary: bool = True):
+    """Basin water-balance quadrature rates [m3/min] for the SHARDED block
+    layout — the sharded twin of ``driver/fused.py``'s ``quad_rates``
+    (reference basin columns, WaterBalanceDiag.cpp:440-530 + lake terms).
+    Reuses the sharded RHS's own diagnostics so the budget integrates the
+    physics actually solved; each scalar is a masked global sum, which
+    GSPMD lowers to per-shard partials + one psum."""
+    from shud_tpu.core import physics as _ph
+
+    def quad_fn(t, y, params):
+        cell, _edge, _seg, riv, _halo, lake, fs_cell, fs_riv = params
+        _dy, dg = diag_fn(t, y, params)
+        fd = y["sf"].dtype
+        valid = cell["valid"]
+        rvalid = riv["valid"]
+        area = jnp.where(valid, cell["area"], 0.0)
+        nl = lake["zmin"].shape[0] if lake else 0
+
+        # canopy evaporation: the bucket's rate is the mass actually
+        # removed from interception storage (fused.py quad_rates)
+        e_ic_q = fs_cell["e_ic"]
+        if nl > 0:
+            is_lake = cell["i_lake"] > 0
+            e_ic_q = jnp.where(is_lake, 0.0, e_ic_q)
+        eta = (e_ic_q + dg["es"] + dg["eu"] + dg["eg"]
+               + dg["tu"] + dg["tg"])
+        et = jnp.sum(jnp.where(valid, eta, 0.0) * area)
+
+        is_outlet = (~riv["has_down"]) & (riv["riv_to_lake"] < 0) & rvalid
+        qout = jnp.sum(jnp.where(is_outlet, dg["q_riv_down"], 0.0))
+
+        if close_boundary:
+            qedge = jnp.zeros((), fd)
+        else:
+            is_bnd = ~_edge["has_nb"]
+            if nl > 0:
+                is_bnd = is_bnd & (lake["lakenabr"] < 0)
+            is_bnd = is_bnd & valid[..., None]
+            qedge = jnp.sum(jnp.where(
+                is_bnd, dg["q_esurf"] + dg["q_esub"], 0.0))
+
+        qbc = jnp.sum(jnp.where((cell["i_bc"] < 0) & valid,
+                                fs_cell["ele_qbc"], 0.0)) \
+            + jnp.sum(jnp.where(rvalid, fs_riv["riv_qbc"], 0.0))
+        qss = jnp.sum(jnp.where((cell["i_ss"] != 0) & valid,
+                                fs_cell["ele_qss"], 0.0))
+
+        # river non-conservation: the dA clamp + fun_dAtodY conversion
+        # (MD_f.cpp:162-166, functions.hpp:141-153)
+        rs = jnp.where(riv["riv_bc"] > 0, fs_riv["riv_ybc"], y["riv"])
+        bw, bs = riv["riv_bottom_width"], riv["riv_bank_slope"]
+        csa = jnp.maximum(rs * (bw + rs * bs), 0.0)
+        topw = jnp.maximum(rs * bs * 2.0 + bw, 0.0)
+        rlen = jnp.where(rvalid, riv["riv_length"], 1.0)
+        d_nat = (-dg["q_riv_up"] - dg["q_riv_surf"] - dg["q_riv_sub"]
+                 - dg["q_riv_down"] + fs_riv["riv_qbc"]) / rlen
+        d_cl = jnp.maximum(d_nat, -csa)
+        drv = _ph.fun_da_to_dy(d_cl, topw, bs)
+        drv = jnp.where(riv["riv_bc"] > 0, 0.0, drv)
+        nc = jnp.sum(jnp.where(rvalid, (topw * drv - d_nat) * rlen, 0.0))
+        if nl > 0:
+            # fluxes run against lake cells and then their DY is zeroed
+            # (MD_f.cpp:146-150) — discarded exchange is non-conservation
+            nc = nc + jnp.sum(jnp.where(
+                is_lake & valid, dg["q_surf_tot"] + dg["q_sub_tot"], 0.0))
+            lake_p = jnp.sum(dg["q_lake_prcp"] * dg["lake_area"])
+            lake_e = jnp.sum(dg["q_lake_evap"] * dg["lake_area"])
+        else:
+            lake_p = jnp.zeros((), fd)
+            lake_e = jnp.zeros((), fd)
+        return {"et": et, "qout": qout, "qedge": qedge, "qbc": qbc,
+                "qss": qss, "nc": nc, "lake_p": lake_p, "lake_e": lake_e}
+
+    return quad_fn
 
 
 def _window_forcing_impl(dm, sv, station_z, lai, mf, sx, sy, sz, wdt, den,
@@ -276,7 +358,10 @@ class ShardedSimulation:
 
     def __init__(self, inp: ProjectInput, md: MeshData, p: int,
                  cfg: SolverConfig | None = None, float_dtype=None,
-                 use_pallas: bool = False, shard_order: str | None = None):
+                 use_pallas: bool = False, shard_order: str | None = None,
+                 wb_exact: "bool | None" = None):
+        import os as _os
+
         import jax.numpy as jnp
 
         from shud_tpu.driver.init import initial_buckets, initial_state
@@ -294,7 +379,8 @@ class ShardedSimulation:
         self.cfg = cfg or SolverConfig(rtol=cs.reltol, atol=cs.abstol,
                                        h_init=cs.init_step, h_max=cs.max_step)
         self.mesh, self.rhs_fn, self.diag_fn, params = _cached_sharded_rhs(
-            self.sm, float_dtype=float_dtype, use_pallas=use_pallas)
+            self.sm, float_dtype=float_dtype, use_pallas=use_pallas,
+            close_boundary=bool(cs.close_boundary))
         self.cell_sh = NamedSharding(self.mesh, P(AXIS))
         self.rep_sh = NamedSharding(self.mesh, P())
         self.params_dev = place_params(self.mesh, params)
@@ -316,7 +402,20 @@ class ShardedSimulation:
             "gw": self._put_cell(ys["gw"]), "riv": self._put_cell(ys["riv"]),
             "lake": self._put_rep(ys["lake"]),
         }
-        self.state = bdf_init(cs.start_time, y_dev, self.cfg)
+        # exact flux quadrature along the trajectory: OPT-IN like the
+        # reference (SHUD_WB_DIAG=1, shud.cpp:70-75) and the fused driver
+        # (FusedSimulation.create wb_exact); one diag RHS per accepted step
+        if wb_exact is None:
+            wb_exact = _os.environ.get("SHUD_WB_DIAG", "0") not in ("0", "")
+        self.quad_fn = None
+        quad0 = None
+        if wb_exact:
+            quad0 = {k: jnp.zeros((), dtype=self.fd)
+                     for k in ("et", "qout", "qedge", "qbc", "qss", "nc",
+                               "lake_p", "lake_e")}
+            self.quad_fn = _make_quad_fn(
+                self.diag_fn, close_boundary=bool(cs.close_boundary))
+        self.state = bdf_init(cs.start_time, y_dev, self.cfg, quad0=quad0)
         self.t = cs.start_time
 
         # device-side forcing-block tables: one gather per field replaces
@@ -410,7 +509,8 @@ class ShardedSimulation:
         Qdown are stacked for flood alerting; returns the new acc."""
         fs_cell, fs_riv, extras = self._forcing_dev(tout)
         self.state = solve_to(self.rhs_fn, self.state, tout,
-                              self.params_dev + (fs_cell, fs_riv), self.cfg)
+                              self.params_dev + (fs_cell, fs_riv), self.cfg,
+                              self.quad_fn)
         self.t = tout
         if acc is None:
             return None
@@ -490,15 +590,29 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
     ``float_dtype=jnp.float32`` + ``use_pallas=True`` runs the per-shard
     fused edge kernel.  Reference: the C++ driver applies the identical
     output subsystem under its OpenMP mode (Model_Control.cpp:930-962,
-    FloodAlert.cpp:115-131)."""
+    FloodAlert.cpp:115-131).
+
+    MULTI-HOST: under ``jax.distributed`` (``--distributed``) every rank
+    executes this function; all device work (window solves, forcing jits,
+    interval accumulators) is collective over the global mesh, the
+    per-interval fetch replicates the sharded arrays (one all-gather,
+    ``device_get_global``), and ONLY process 0 owns the output files.
+    Proven end-to-end by ``tools/dryrun_distributed.py --driver`` (2
+    CPU processes x 4 devices vs the single-process P=8 run)."""
     import os as _os
     import time as _time
 
+    from shud_tpu.core.device import device_get_global
     from shud_tpu.core.mesh import build_mesh
     from shud_tpu.diag.waterbalance import WaterBalance
     from shud_tpu.driver.run_fast import IntervalWriter
     from shud_tpu.io.checkpoint import load_checkpoint, save_checkpoint
-    from shud_tpu.io.output import FloodAlert, TimeLog, write_restart
+    from shud_tpu.io.output import (
+        FloodAlert,
+        PrintCtrl,
+        TimeLog,
+        write_restart,
+    )
     from shud_tpu.io.project import load_project, write_calib
     from shud_tpu.io.validate import check_input
     from shud_tpu.utils.errors import NanError
@@ -520,6 +634,8 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
         p = len(jax.devices())
         while p & (p - 1):
             p -= 1  # largest power of two <= device count
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
     sim = ShardedSimulation(inp, md, p, float_dtype=float_dtype,
                             use_pallas=use_pallas)
     if resume:
@@ -531,21 +647,36 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
     sm = sim.sm
     ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
     t_end = cs.end_time if end_day is None else end_day * 1440.0
-    _os.makedirs(paths.outpath, exist_ok=True)
+    if is_main:
+        _os.makedirs(paths.outpath, exist_ok=True)
 
-    writer = IntervalWriter(sim)
+    writer = IntervalWriter(sim, io_enabled=is_main)
     interval = writer.interval
-    flood = FloodAlert(
-        _os.path.join(paths.outpath, f"{paths.project}.flood.csv"),
-        md.riv_depth,
-    )
-    tlog = TimeLog(_os.path.join(paths.outpath, f"{paths.project}.time.csv"))
-    wb = WaterBalance(
-        md, _os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv")
-    )
-    write_calib(inp.calib,
-                _os.path.join(paths.outpath, f"{paths.project}.cfg.calib.bak"))
-    paths.save_project_file()
+    flood = tlog = wb = wb_ele = None
+    if is_main:
+        flood = FloodAlert(
+            _os.path.join(paths.outpath, f"{paths.project}.flood.csv"),
+            md.riv_depth,
+        )
+        tlog = TimeLog(
+            _os.path.join(paths.outpath, f"{paths.project}.time.csv"))
+        wb = WaterBalance(
+            md, _os.path.join(paths.outpath, f"{paths.project}.wb.basin.csv")
+        )
+        # per-element residual channel, opt-in like the reference's
+        # SHUD_WB_DIAG=1 (WaterBalanceDiag.cpp:258-370) — run_fast parity
+        if _os.environ.get("SHUD_WB_DIAG", "0") not in ("0", ""):
+            wb_ele = PrintCtrl(
+                _os.path.join(paths.outpath, f"{paths.project}.elevwbres"),
+                inp.forc.start_yyyymmdd, int(interval), False, ne,
+            )
+        write_calib(inp.calib, _os.path.join(
+            paths.outpath, f"{paths.project}.cfg.calib.bak"))
+        paths.save_project_file()
+        if _os.environ.get("SHUD_DEBUG_TABLES", "0") not in ("0", ""):
+            from shud_tpu.io.debugtables import write_debug_tables
+
+            write_debug_tables(md, inp, paths.outpath)
 
     def uc(b):  # unshard a [P, Np(,3)] cell block
         return np.asarray(b)[sm.old_to_shard, sm.old_to_slot]
@@ -556,14 +687,16 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
                 else b.reshape(0))
 
     def _fetch(acc=None):
-        """ONE batched device->host transfer per interval."""
+        """ONE batched device->host transfer per interval (collective
+        all-gather first when running multi-process)."""
         tree = {"y": sim.state.y, "ic": sim.buckets.ic_stg,
-                "snow": sim.buckets.snow, "nfe": sim.state.nfe}
+                "snow": sim.buckets.snow, "nfe": sim.state.nfe,
+                "quad": sim.state.quad}
         if acc is not None:
             tree["acc"] = acc["tree"]
             tree["stages"] = acc["stages"]
             tree["qdowns"] = acc["qdowns"]
-        return jax.device_get(tree)
+        return device_get_global(tree)
 
     def _dense_y(host):
         yb = host["y"]
@@ -585,12 +718,13 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
 
     host = _fetch()
     y_host = _dense_y(host)
-    write_restart(
-        _os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
-        host["ic"], host["snow"],
-        y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
-        y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
-    )
+    if is_main:
+        write_restart(
+            _os.path.join(paths.outpath, f"{paths.project}.cfg.ic.bak"), 0.0,
+            host["ic"], host["snow"],
+            y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
+            y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
+        )
 
     tc = TimeContext(inp.forc.start_yyyymmdd)
     wall0 = _time.time()
@@ -601,6 +735,8 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
         this_int = min(interval, t_end - sim.t)
         y0 = y_host
         bk0 = (host["ic"], host["snow"])
+        quad0 = ({k: float(v) for k, v in host["quad"].items()}
+                 if host["quad"] is not None else None)
         t0 = sim.t
         acc = sim.acc_zero()
         while sim.t < t0 + this_int - 1e-9:
@@ -609,21 +745,42 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
         host = _fetch(acc)
         y_host = _dense_y(host)
         mean_e, mean_r, mean_l = _means(host, acc["n"])
-        writer.write(sim.t, mean_e, mean_r, mean_l)
-        for w in range(acc["n"]):
-            flood.check(t0 + (w + 1) * win, ur(host["stages"][w]),
-                        ur(host["qdowns"][w]))
-        wb.interval(t0, sim.t, y0, y_host, mean_e, mean_r,
-                    buckets0=bk0, buckets1=(host["ic"], host["snow"]),
-                    mean_lake=mean_l)
+        if is_main:
+            writer.write(sim.t, mean_e, mean_r, mean_l)
+            for w in range(acc["n"]):
+                flood.check(t0 + (w + 1) * win, ur(host["stages"][w]),
+                            ur(host["qdowns"][w]))
+            # exact trajectory quadrature when SHUD_WB_DIAG=1 (run_fast
+            # parity; the sampled means carry the documented switching
+            # bias, docs/VALIDATION.md)
+            quad_kwargs = {}
+            if quad0 is not None:
+                q1 = {k: float(v) for k, v in host["quad"].items()}
+                quad_kwargs = dict(
+                    et_m3=q1["et"] - quad0["et"],
+                    qout_m3=q1["qout"] - quad0["qout"],
+                    qedge_m3=q1["qedge"] - quad0["qedge"],
+                    qbc_m3=q1["qbc"] - quad0["qbc"],
+                    qss_m3=q1["qss"] - quad0["qss"],
+                    nc_m3=q1["nc"] - quad0["nc"],
+                    lake_p_m3=q1["lake_p"] - quad0["lake_p"],
+                    lake_e_m3=q1["lake_e"] - quad0["lake_e"],
+                )
+            wb.interval(t0, sim.t, y0, y_host, mean_e, mean_r,
+                        buckets0=bk0, buckets1=(host["ic"], host["snow"]),
+                        mean_lake=mean_l, **quad_kwargs)
+            if wb_ele is not None:
+                wb_ele.push(sim.t, wb.element_residuals(
+                    t0, sim.t, y0, y_host, mean_e))
         nfe = int(host["nfe"])
         perc = 100.0 * (sim.t - cs.start_time) / (t_end - cs.start_time)
         if verbose:
             print(f"{tc.iso(sim.t)}\t{sim.t/1440.0:8.2f} day\t{perc:6.2f}%"
                   f"\t{_time.time()-wall0:8.2f} s\t{nfe - last_nfe}"
                   f"\t({p} shards)", flush=True)
-        tlog.write(sim.t, perc, _time.process_time() - cpu0,
-                   _time.time() - wall0, nfe - last_nfe)
+        if is_main:
+            tlog.write(sim.t, perc, _time.process_time() - cpu0,
+                       _time.time() - wall0, nfe - last_nfe)
         last_nfe = nfe
         if int(sim.t) % cs.update_ic_step == 0 or sim.t >= t_end - 1e-9:
             if not np.isfinite(y_host).all():
@@ -631,21 +788,26 @@ def run_project_sharded(project: str, base: str = ".", p: int | None = None,
                 raise NanError(
                     f"non-finite state at t={sim.t:.1f} min (index {bad})"
                 )
-            write_restart(
-                _os.path.join(paths.outpath,
-                              f"{paths.project}.cfg.ic.update"),
-                sim.t, host["ic"], host["snow"],
-                y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
-                y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
-            )
+            if is_main:
+                write_restart(
+                    _os.path.join(paths.outpath,
+                                  f"{paths.project}.cfg.ic.update"),
+                    sim.t, host["ic"], host["snow"],
+                    y_host[:ne], y_host[ne:2*ne], y_host[2*ne:3*ne],
+                    y_host[3*ne:3*ne+nr], y_host[3*ne+nr:] if nl else None,
+                )
+            # collective (all ranks gather; rank 0 writes)
             save_checkpoint(
                 _os.path.join(paths.outpath, f"{paths.project}.ckpt.npz"),
                 sim,
             )
     writer.close()
-    flood.close()
-    tlog.close()
-    wb.close()
+    if is_main:
+        flood.close()
+        tlog.close()
+        wb.close()
+        if wb_ele is not None:
+            wb_ele.close()
     if verbose:
         b = sim.state
         print(f"\nFinal stats: nsteps={int(b.nsteps)} nfe={int(b.nfe)} "

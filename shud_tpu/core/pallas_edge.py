@@ -758,9 +758,14 @@ def _unblk(eb, a):
 
 
 def _eb_used(eb):
-    """Per-block used-shift mask; all-ones fallback for EdgeBlocks built
-    before the mask existed (old pickled partitions) — semantics identical,
-    no skipping."""
+    """Per-block used-shift mask operand.
+
+    Only the ``use_skip`` sweep reads it; otherwise pass a single dummy
+    row — the full [nb, nsh] table lives in SMEM (scalar memory, 1 MiB)
+    and at 10M cells (nb~3.4k, 37 shifts) it no longer fits, which used
+    to fail compilation even though the values were never read."""
+    if not getattr(eb, "use_skip", False):
+        return jnp.ones((1, eb.k_hi - eb.k_lo + 1), jnp.int32)
     u = getattr(eb, "used", None)  # getattr: pre-round-4 pickled caches
     if u is None:
         return jnp.ones((eb.nb, eb.k_hi - eb.k_lo + 1), jnp.int32)

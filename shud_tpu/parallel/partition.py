@@ -217,33 +217,73 @@ _RIV_PAD = {
 }
 
 
-def _shard_rcm_slots(md: MeshData, part: np.ndarray, p: int) -> np.ndarray:
+def _shard_rcm_slots(md: MeshData, part: np.ndarray, p: int,
+                     tile_cells: "int | None" = None):
     """Per-shard Reverse Cuthill–McKee local slots: minimise each shard's
     induced-subgraph bandwidth so the Pallas edge kernel's banded-window
-    precondition holds per shard with the smallest possible block size."""
+    precondition holds per shard with the smallest possible block size.
+
+    ``tile_cells``: when set, each shard is RCB-split into tiles of about
+    that many cells and RCM runs PER TILE (tiles concatenated in RCB
+    order).  A planar mesh's bandwidth grows as sqrt(cells) — at the
+    10M-cell single-chip design point the full-shard RCM band reaches
+    ~2.3k (37 kernel row-shift iterations); per-tile RCM caps the
+    kernel-visible band at ~2*sqrt(tile_cells) and routes the O(cut)
+    inter-tile edges through the compact local-remainder list instead
+    (the same treatment cross-shard edges already get).
+
+    Returns ``(old_to_slot, tile_of)``; ``tile_of`` is the per-cell tile
+    id within its shard (all zeros when untiled)."""
     from shud_tpu.utils.reorder import rcm_permutation
 
     ne = md.num_ele
     nabr = np.asarray(md.nabr)
     old_to_slot = np.zeros(ne, dtype=np.int64)
+    tile_of = np.zeros(ne, dtype=np.int64)
     for q in range(p):
         cells = np.flatnonzero(part == q)
-        g2l = np.full(ne, -1, dtype=np.int64)
-        g2l[cells] = np.arange(len(cells))
-        sub = np.where(nabr[cells] >= 0, g2l[np.maximum(nabr[cells], 0)], -1)
-        perm_q = rcm_permutation(sub)  # perm[new_local] = old_local
-        slot_of = np.empty(len(cells), dtype=np.int64)
-        slot_of[perm_q] = np.arange(len(cells))
-        old_to_slot[cells] = slot_of
-    return old_to_slot
+        if tile_cells and len(cells) > tile_cells:
+            nt = 1 << int(np.ceil(np.log2(len(cells) / tile_cells)))
+            tpart = rcb_partition(
+                np.asarray(md.x)[cells], np.asarray(md.y)[cells], nt)
+            tile_of[cells] = tpart
+            off = 0
+            for tq in range(nt):
+                tloc = np.flatnonzero(tpart == tq)
+                sub_cells = cells[tloc]  # ascending (flatnonzero order)
+                nb = nabr[sub_cells]
+                pos = np.searchsorted(sub_cells, np.maximum(nb, 0))
+                pos = np.minimum(pos, len(sub_cells) - 1)
+                in_tile = (nb >= 0) & (sub_cells[pos] == nb)
+                sub = np.where(in_tile, pos, -1)
+                perm_t = rcm_permutation(sub)  # perm[new_local] = old_local
+                s = np.empty(len(sub_cells), dtype=np.int64)
+                s[perm_t] = np.arange(len(sub_cells))
+                old_to_slot[sub_cells] = off + s
+                off += len(sub_cells)
+        else:
+            g2l = np.full(ne, -1, dtype=np.int64)
+            g2l[cells] = np.arange(len(cells))
+            sub = np.where(nabr[cells] >= 0,
+                           g2l[np.maximum(nabr[cells], 0)], -1)
+            perm_q = rcm_permutation(sub)  # perm[new_local] = old_local
+            slot_of = np.empty(len(cells), dtype=np.int64)
+            slot_of[perm_q] = np.arange(len(cells))
+            old_to_slot[cells] = slot_of
+    return old_to_slot, tile_of
 
 
 def build_sharded_mesh(md: MeshData, p: int,
-                       shard_order: str = "keep") -> ShardedMesh:
+                       shard_order: str = "keep",
+                       tile_cells: "int | None" = None) -> ShardedMesh:
     """``shard_order``: local slot numbering within each shard —
     ``"keep"`` (induced global order; bitwise-stable with prior rounds) or
     ``"rcm"`` (per-shard Reverse Cuthill–McKee, required for the Pallas
-    edge kernel on meshes whose global numbering is not banded)."""
+    edge kernel on meshes whose global numbering is not banded).
+
+    ``tile_cells`` (rcm only): per-tile RCM numbering — bounds the edge
+    kernel's band at large single-shard cell counts; inter-tile edges are
+    evaluated on a compact local-remainder list (see _shard_rcm_slots)."""
     ne = md.num_ele
     part = rcb_partition(md.x, md.y, p)
     sizes = np.bincount(part, minlength=p)
@@ -253,8 +293,10 @@ def build_sharded_mesh(md: MeshData, p: int,
 
     # map old cell id -> (shard, local slot)
     old_to_shard = part.astype(np.int64)
+    tile_of = np.zeros(ne, dtype=np.int64)
     if shard_order == "rcm":
-        old_to_slot = _shard_rcm_slots(md, part, p)
+        old_to_slot, tile_of = _shard_rcm_slots(md, part, p,
+                                                tile_cells=tile_cells)
     else:
         # induced global order: slot = rank of old id within its shard
         perm0 = np.lexsort((np.arange(ne), part))  # new -> old
@@ -641,14 +683,63 @@ def build_sharded_mesh(md: MeshData, p: int,
         }
 
     # ---- per-shard Pallas edge-kernel blocks ------------------------------
-    # kernel-visible adjacency: local slot of same-shard neighbours, -1 for
-    # remote / boundary (those are handled by the halo lists above)
+    # kernel-visible adjacency: local slot of same-shard (and, when tiled,
+    # same-tile) neighbours; -1 for remote / boundary / inter-tile (those
+    # are handled by the halo / local-remainder lists)
+    same_tile = np.ones(ne * 3, dtype=bool)
+    if tile_cells:
+        same_tile[ok] = tile_of[nn[ok]] == tile_of[ii[ok]]
     nabr_loc_flat = np.where(
-        (ok & ~cross).reshape(ne, 3),
+        (ok & ~cross & same_tile).reshape(ne, 3),
         nb_local_flat, -1,
     )
     nabr_loc = np.full((p, np_cells, 3), -1, dtype=np.int64)
     nabr_loc[old_to_shard, old_to_slot] = nabr_loc_flat
+
+    # ---- compact intra-shard inter-tile edge list (tiled numbering) ------
+    # Same flux laws as the cross-shard remainder, but the neighbour value
+    # is local to the shard block (no ghost): evaluated in XLA and
+    # merged by scatter-add exactly like rmt_*.  Only present when tiling
+    # actually cut edges — its presence is the static switch the sharded
+    # RHS keys on.
+    # (lake-bank edges stay on the lke_* list regardless of tiles)
+    tcut = ok & ~cross & ~same_tile & ~(np.asarray(md.lakenabr) >= 0).ravel()
+    if tcut.any():
+        ti = ii[tcut]
+        tj = (np.arange(ne * 3) % 3)[tcut]
+        tnb = nn[tcut]
+        t_shard = old_to_shard[ti]
+        t_counts = np.bincount(t_shard, minlength=p)
+        tb_max = max(1, int(t_counts.max()))
+        loc = {
+            "cell": np.zeros((p, tb_max), np.int64),
+            "slot": np.zeros((p, tb_max), np.int64),
+            "nbr": np.zeros((p, tb_max), np.int64),
+            "B": np.zeros((p, tb_max)),
+            "dist": np.ones((p, tb_max)),
+            "ravg": np.ones((p, tb_max)),
+            "dzs": np.zeros((p, tb_max)),
+            "dzb": np.zeros((p, tb_max)),
+            "dep": np.zeros((p, tb_max)),
+            "valid": np.zeros((p, tb_max), bool),
+        }
+        order_t = np.argsort(t_shard, kind="stable")
+        tq_ = t_shard[order_t]
+        tj2 = np.arange(len(ti)) - np.concatenate(
+            [[0], np.cumsum(t_counts)])[tq_]
+        tio, tjo, tno = ti[order_t], tj[order_t], tnb[order_t]
+        loc["cell"][tq_, tj2] = old_to_slot[tio]
+        loc["slot"][tq_, tj2] = tjo
+        loc["nbr"][tq_, tj2] = old_to_slot[tno]
+        loc["B"][tq_, tj2] = md.edge[tio, tjo]
+        loc["dist"][tq_, tj2] = np.where(
+            md.dist2nabor[tio, tjo] == 0.0, 1.0, md.dist2nabor[tio, tjo])
+        loc["ravg"][tq_, tj2] = np.maximum(md.avg_rough[tio, tjo], 1e-20)
+        loc["dzs"][tq_, tj2] = md.edge_dz_surf[tio, tjo]
+        loc["dzb"][tq_, tj2] = md.edge_dz_bottom[tio, tjo]
+        loc["dep"][tq_, tj2] = md.depression[tio]
+        loc["valid"][tq_, tj2] = True
+        halo.update({f"loc_{k}": v for k, v in loc.items()})
     lake_e = np.zeros((p, np_cells, 3), dtype=bool)
     lake_e[old_to_shard, old_to_slot] = np.asarray(md.lakenabr) >= 0
     m_int_sh = (nabr_loc >= 0) & ~lake_e

@@ -359,7 +359,8 @@ class ShardedSimulation:
     def __init__(self, inp: ProjectInput, md: MeshData, p: int,
                  cfg: SolverConfig | None = None, float_dtype=None,
                  use_pallas: bool = False, shard_order: str | None = None,
-                 wb_exact: "bool | None" = None):
+                 wb_exact: "bool | None" = None,
+                 sm: "ShardedMesh | None" = None):
         import os as _os
 
         import jax.numpy as jnp
@@ -372,7 +373,10 @@ class ShardedSimulation:
         if shard_order is None:
             shard_order = "rcm" if use_pallas else "keep"
         self.fd = float_dtype or jnp.float64
-        self.sm = build_sharded_mesh(md, p, shard_order=shard_order)
+        # ``sm``: inject a prebuilt (possibly disk-cached) partition — the
+        # 10M-cell benches rebuild it once and reuse across tools
+        self.sm = sm if sm is not None else build_sharded_mesh(
+            md, p, shard_order=shard_order)
         self.fr = build_forcing(inp, md)
         self.dm = to_device(md)
         cs = inp.control

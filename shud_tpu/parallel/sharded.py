@@ -160,6 +160,22 @@ def _edge_stencil_pallas_row(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
     )
     qs_row = qs_row.at[rc].add(jnp.where(rv, q_s_r, 0.0))
     qb_row = qb_row.at[rc].add(jnp.where(rv, q_b_r, 0.0))
+    if "loc_cell" in halo:
+        # intra-shard inter-TILE edges (tiled per-shard numbering): same
+        # compact-list treatment as the cross-shard remainder, but the
+        # neighbour value is local to this shard block — no ghost needed
+        tc, tn, tv = halo["loc_cell"], halo["loc_nbr"], halo["loc_valid"]
+        q_s_t, _ = _flux_surface_int(
+            jnp.maximum(sf32[tc], 0.0), jnp.maximum(sf32[tn], 0.0),
+            halo["loc_dzs"], halo["loc_dist"], halo["loc_B"],
+            halo["loc_ravg"], halo["loc_dep"],
+        )
+        q_b_t, _ = _flux_sub_int(
+            gw32[tc], gw32[tn], kh32[tc], kh32[tn],
+            halo["loc_dzb"], halo["loc_dist"], halo["loc_B"],
+        )
+        qs_row = qs_row.at[tc].add(jnp.where(tv, q_s_t, 0.0))
+        qb_row = qb_row.at[tc].add(jnp.where(tv, q_b_t, 0.0))
     if nl == 0:
         z = jnp.zeros((0,), qs_row.dtype)
         return qs_row, qb_row, z, z
@@ -244,6 +260,24 @@ def _edge_stencil_pallas(pk, halo, lake_tbl, ghost_c, sf, gw, effkh,
         jnp.where(rv, q_s_r, 0.0)).reshape(np_cells, 3)
     q_esub0 = q_sub_k.reshape(-1).at[rflat].add(
         jnp.where(rv, q_b_r, 0.0)).reshape(np_cells, 3)
+    if "loc_cell" in halo:
+        # intra-shard inter-tile edges (tiled numbering): local neighbour
+        tc, ts, tn = halo["loc_cell"], halo["loc_slot"], halo["loc_nbr"]
+        tv = halo["loc_valid"]
+        q_s_t, _ = _flux_surface_int(
+            jnp.maximum(sf32[tc], 0.0), jnp.maximum(sf32[tn], 0.0),
+            halo["loc_dzs"], halo["loc_dist"], halo["loc_B"],
+            halo["loc_ravg"], halo["loc_dep"],
+        )
+        q_b_t, _ = _flux_sub_int(
+            gw32[tc], gw32[tn], kh32[tc], kh32[tn],
+            halo["loc_dzb"], halo["loc_dist"], halo["loc_B"],
+        )
+        tflat = tc * 3 + ts
+        q_esurf = q_esurf.reshape(-1).at[tflat].add(
+            jnp.where(tv, q_s_t, 0.0)).reshape(np_cells, 3)
+        q_esub0 = q_esub0.reshape(-1).at[tflat].add(
+            jnp.where(tv, q_b_t, 0.0)).reshape(np_cells, 3)
     if nl == 0:
         z = jnp.zeros((0,), q_esurf.dtype)
         return q_esurf, q_esub0, z, z

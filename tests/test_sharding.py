@@ -120,12 +120,16 @@ def _f32_blocks(sm, v):
     return jnp.asarray(buf, jnp.float32)
 
 
-def _run_sharded_pair(md, y, fsargs, p=8, shard_order="rcm"):
+def _run_sharded_pair(md, y, fsargs, p=8, shard_order="rcm",
+                      tile_cells=None):
     """dY from the sharded f32 XLA path and the sharded f32 Pallas path
     (interpret mode) on the same partition."""
     from shud_tpu.parallel.partition import build_sharded_mesh
 
-    sm = build_sharded_mesh(md, p, shard_order=shard_order)
+    sm = build_sharded_mesh(md, p, shard_order=shard_order,
+                            tile_cells=tile_cells)
+    if tile_cells is not None:
+        assert "loc_cell" in sm.halo, "tiling cut no edges (test mis-sized)"
     assert sm.edge_blocks is not None, "per-shard numbering not banded"
     ys = {k: jnp.asarray(np.asarray(v), jnp.float32)
           for k, v in shard_state(sm, y).items()}
@@ -174,6 +178,55 @@ def test_sharded_pallas_equivalence(eight_devices):
     # f32 reassociation (blocked-layout edge reduction, fu_sub applied to
     # the SUM; the XLA path scales per-edge then sums — bit-different,
     # same physics)
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_equivalence_tiled(eight_devices):
+    """Tiled per-shard numbering (tile_cells): per-tile RCM bounds the
+    kernel band at the 10M-cell single-chip design point; inter-tile
+    edges ride the compact local-remainder list (halo loc_*) exactly as
+    cross-shard edges ride rmt_*.  Tiled-Pallas must match the sharded
+    XLA gather path (which ignores tiles entirely) at the kernel
+    tolerance, and the tiled XLA path must be BITWISE equal to the
+    untiled one (the numbering is just a permutation)."""
+    from shud_tpu.core.mesh import build_mesh
+    from shud_tpu.utils.synthetic import make_synthetic_project
+
+    inp = make_synthetic_project(32, 16, end_day=1.0)
+    md = build_mesh(inp)
+    ne, nr = md.num_ele, md.num_riv
+    rng = np.random.default_rng(11)
+    sf = rng.uniform(-0.001, 0.05, ne)
+    us = rng.uniform(0, 0.5, ne) * md.aq_depth
+    gw = rng.uniform(0, 1.2, ne) * md.aq_depth
+    rv = rng.uniform(0, 2.0, nr)
+    y = np.concatenate([sf, us, gw, rv])
+    fsargs = _random_fs(rng, ne, nr)
+    dy_x, dy_p = _run_sharded_pair(md, y, fsargs, p=2, tile_cells=64)
+    scale = float(np.abs(dy_x).max()) or 1.0
+    np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=5e-6)
+    dy_x0, _ = _run_sharded_pair(md, y, fsargs, p=2)
+    np.testing.assert_array_equal(dy_x0, dy_x)
+
+
+@pytest.mark.slow
+def test_sharded_pallas_equivalence_lakes_tiled(qhh, eight_devices):
+    """Tiled numbering on the lake watershed: lake-bank edges stay on the
+    lke_* list (never double-counted on loc_*) and per-lake sums remain
+    psum-complete."""
+    inp, md, dm = qhh
+    ne, nr, nl = md.num_ele, md.num_riv, md.num_lake
+    rng = np.random.default_rng(13)
+    sf = rng.uniform(-0.001, 0.02, ne)
+    us = rng.uniform(0, 0.5, ne) * md.aq_depth
+    gw = rng.uniform(0, 1.2, ne) * md.aq_depth
+    rv = rng.uniform(0, 2.0, nr)
+    lk = rng.uniform(0, 5.0, nl)
+    y = np.concatenate([sf, us, gw, rv, lk])
+    fsargs = _random_fs(rng, ne, nr)
+    dy_x, dy_p = _run_sharded_pair(md, y, fsargs, p=2, tile_cells=256)
+    scale = float(np.abs(dy_x).max()) or 1.0
     np.testing.assert_allclose(dy_x / scale, dy_p / scale, atol=5e-6)
 
 

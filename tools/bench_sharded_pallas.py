@@ -30,13 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build(nx: int, ny: int, p: int):
+def build(nx: int, ny: int, p: int, tile_cells: "int | None" = None):
     from shud_tpu.core.mesh import build_mesh
     from shud_tpu.parallel.partition import build_sharded_mesh
     from shud_tpu.utils.reorder import permute_project
     from shud_tpu.utils.synthetic import make_synthetic_project
 
-    cache = f"/tmp/bench_shpallas_{nx}x{ny}_p{p}_v1.pkl"
+    tag = f"_t{tile_cells}" if tile_cells else ""
+    cache = f"/tmp/bench_shpallas_{nx}x{ny}_p{p}{tag}_v1.pkl"
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)
@@ -46,7 +47,7 @@ def build(nx: int, ny: int, p: int):
     rng = np.random.default_rng(0)
     inp = permute_project(inp, rng.permutation(ne))
     md = build_mesh(inp)
-    sm = build_sharded_mesh(md, p, shard_order="rcm")
+    sm = build_sharded_mesh(md, p, shard_order="rcm", tile_cells=tile_cells)
     assert sm.edge_blocks is not None, "per-shard RCM failed to band"
     print(f"# built ne={ne} p={p} np_cells={sm.np_cells} "
           f"blk={sm.edge_blocks.blk} k=[{sm.edge_blocks.k_lo},"
@@ -61,7 +62,8 @@ def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 724
     ny = int(sys.argv[2]) if len(sys.argv) > 2 else 724
     p = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    md, sm = build(nx, ny, p)
+    tile = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    md, sm = build(nx, ny, p, tile_cells=tile)
 
     import jax
     import jax.numpy as jnp
@@ -92,9 +94,17 @@ def main():
     devices = np.array(jax.devices()[:p])
 
     def bench(label, float_dtype, use_pallas):
+        from shud_tpu.parallel.sharded import place_params
+
         fd = float_dtype
-        _, rhs_fn, params = make_sharded_rhs(
+        mesh, rhs_fn, params = make_sharded_rhs(
             sm, devices=devices, float_dtype=fd, use_pallas=use_pallas)
+        # device_put the params (as the production driver does) and pass
+        # them as a jit ARGUMENT: baking them as compile-time constants
+        # ships the whole static mesh inside the XLA program, which the
+        # axon remote-compile tunnel rejects above ~2 GB (HTTP 413) at
+        # the 10M-cell sizes
+        params = place_params(mesh, params)
         fs_cell = {k: blocks(fsargs[k], fd) for k in fsargs}
         fs_riv = {"riv_ybc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), fd),
                   "riv_qbc": jnp.asarray(riv_blocks(sm, np.zeros(nr)), fd)}
@@ -102,24 +112,25 @@ def main():
               for k, v in shard_state(sm, y).items()}
 
         @functools.partial(jax.jit, static_argnames=("n",))
-        def chain(ys, n):
+        def chain(ys, params, n):
             def step(carry, _):
-                dy = rhs_fn(0.0, carry, params + (fs_cell, fs_riv))
+                dy = rhs_fn(0.0, carry, params)
                 return jax.tree_util.tree_map(
                     lambda a, b: a + 1e-9 * b, carry, dy), None
 
             out, _ = jax.lax.scan(step, ys, None, length=n)
             return sum(jnp.sum(v) for v in out.values())
 
+        params = params + (fs_cell, fs_riv)
         n_lo, n_hi = 4, 32
-        _ = float(chain(ys, n_lo))  # compile+warm
+        _ = float(chain(ys, params, n_lo))  # compile+warm
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            _ = float(chain(ys, n_lo))
+            _ = float(chain(ys, params, n_lo))
             t_lo = time.time() - t0
             t0 = time.time()
-            _ = float(chain(ys, n_hi))
+            _ = float(chain(ys, params, n_hi))
             t_hi = time.time() - t0
             best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
         print(f"{label}: {best*1e3:.3f} ms/eval "

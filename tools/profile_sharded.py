@@ -66,14 +66,19 @@ def main():
           for k, v in shard_state(sm, y).items()}
 
     def bench(label, use_pallas, parts):
-        _, rhs_fn, params = make_sharded_rhs(
+        from shud_tpu.parallel.sharded import place_params
+
+        mesh, rhs_fn, params = make_sharded_rhs(
             sm, devices=devices, float_dtype=fd, use_pallas=use_pallas,
             parts=parts)
+        # pass device-put params as jit ARGUMENTS (closure-baked constants
+        # exceed the axon remote-compile body limit at 10M cells)
+        params = place_params(mesh, params) + (fs_cell, fs_riv)
 
         @functools.partial(jax.jit, static_argnames=("n",))
-        def chain(ys, n):
+        def chain(ys, params, n):
             def step(carry, _):
-                dy = rhs_fn(0.0, carry, params + (fs_cell, fs_riv))
+                dy = rhs_fn(0.0, carry, params)
                 return jax.tree_util.tree_map(
                     lambda a, b: a + 1e-9 * b, carry, dy), None
 
@@ -81,14 +86,14 @@ def main():
             return sum(jnp.sum(v) for v in out.values())
 
         n_lo, n_hi = 4, 32
-        _ = float(chain(ys, n_lo))
+        _ = float(chain(ys, params, n_lo))
         best = np.inf
         for _ in range(3):
             t0 = time.time()
-            _ = float(chain(ys, n_lo))
+            _ = float(chain(ys, params, n_lo))
             t_lo = time.time() - t0
             t0 = time.time()
-            _ = float(chain(ys, n_hi))
+            _ = float(chain(ys, params, n_hi))
             t_hi = time.time() - t0
             best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
         print(f"{label:34s} {best*1e3:7.3f} ms/eval", flush=True)

@@ -20,7 +20,12 @@ The per-stage itemisation (kernel / elementwise / segments / rivers) is
 `tools/profile_sharded.py 2290 2290 1`, and the raw RHS ms/eval is
 `tools/bench_sharded_pallas.py 2290 2290 1` — same cached partition.
 
-Usage: python tools/bench_10m_composed.py window|parity|parity-p8 [nx ny p]
+Usage: python tools/bench_10m_composed.py window|parity|parity-p8 [nx ny p tile]
+
+``tile`` (0 = untiled) plumbs through to
+``build_sharded_mesh(tile_cells=...)``: per-tile RCM caps the kernel band
+at ~2*sqrt(tile) regardless of mesh size (the round-5 scaling fix — the
+untiled 10.49M band is ~2.3k -> 37 row-shift iterations).
 """
 
 from __future__ import annotations
@@ -76,14 +81,14 @@ def kernel_report(sm):
           flush=True)
 
 
-def cmd_window(nx, ny, p):
+def cmd_window(nx, ny, p, tile=None):
     import jax
     import jax.numpy as jnp
 
     import shud_tpu  # noqa: F401
     from shud_tpu.parallel.runtime import ShardedSimulation
 
-    md, sm = build(nx, ny, p)
+    md, sm = build(nx, ny, p, tile_cells=tile)
     inp = build_inp(nx, ny)
     kernel_report(sm)
     ne = md.num_ele
@@ -157,14 +162,14 @@ def _rand_inputs(md, sm, fd, use_pallas):
     return ys, fs_cell, fs_riv
 
 
-def cmd_parity(nx, ny, p):
+def cmd_parity(nx, ny, p, tile=None):
     """Composed Pallas f32 vs sharded XLA f32, single eval, real chip."""
     import jax
 
     import shud_tpu  # noqa: F401
     from shud_tpu.parallel.sharded import make_sharded_rhs
 
-    md, sm = build(nx, ny, p)
+    md, sm = build(nx, ny, p, tile_cells=tile)
     kernel_report(sm)
     import jax.numpy as jnp
 
@@ -226,10 +231,12 @@ def main():
     nx = int(sys.argv[2]) if len(sys.argv) > 2 else 2290
     ny = int(sys.argv[3]) if len(sys.argv) > 3 else 2290
     p = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    tile = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    tile = tile or None
     if cmd == "window":
-        cmd_window(nx, ny, p)
+        cmd_window(nx, ny, p, tile)
     elif cmd == "parity":
-        cmd_parity(nx, ny, p)
+        cmd_parity(nx, ny, p, tile)
     elif cmd == "parity-p8":
         cmd_parity_p8(nx, ny)
     else:

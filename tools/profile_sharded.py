@@ -8,7 +8,12 @@ times ablations of `_local_rhs` (the `parts` knob) with the chained
 protocol (docs/PERF.md "How we time") and prints the per-stage breakdown
 by difference.
 
-Usage: python tools/profile_sharded.py [nx ny p] (default 724 724 1)
+Usage: python tools/profile_sharded.py [nx ny p tile] (default 724 724 1)
+
+``tile`` (0 = untiled) plumbs to build_sharded_mesh(tile_cells=...);
+``SHUD_PROFILE_ABLATIONS`` (comma list of full,noedge,noseg,noriv,ele,
+eleedge,xla) selects a subset — the 10M mesh cannot afford all seven
+compiles, and the XLA-fallback chain OOMs HBM at that size.
 """
 
 from __future__ import annotations
@@ -29,7 +34,8 @@ def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 724
     ny = int(sys.argv[2]) if len(sys.argv) > 2 else 724
     p = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    md, sm = build(nx, ny, p)
+    tile = (int(sys.argv[4]) or None) if len(sys.argv) > 4 else None
+    md, sm = build(nx, ny, p, tile_cells=tile)
 
     import jax
     import jax.numpy as jnp
@@ -100,21 +106,42 @@ def main():
         return best
 
     full = ("ele", "edge", "seg", "riv")
-    t_full = bench("FULL (pallas)", True, full)
-    t_noedge = bench("no edge stencil", True, ("ele", "seg", "riv"))
-    t_noseg = bench("no segments", True, ("ele", "edge", "riv"))
-    t_noriv = bench("no river chain", True, ("ele", "edge", "seg"))
-    t_ele = bench("elementwise only", True, ("ele",))
-    t_edge = bench("ele+edge (kernel path)", True, ("ele", "edge"))
-    t_full_x = bench("FULL (XLA fallback)", False, full)
+    want = os.environ.get(
+        "SHUD_PROFILE_ABLATIONS",
+        "full,noedge,noseg,noriv,ele,eleedge,xla").split(",")
+    t = {}
+    if "full" in want:
+        t["full"] = bench("FULL (pallas)", True, full)
+    if "noedge" in want:
+        t["noedge"] = bench("no edge stencil", True, ("ele", "seg", "riv"))
+    if "noseg" in want:
+        t["noseg"] = bench("no segments", True, ("ele", "edge", "riv"))
+    if "noriv" in want:
+        t["noriv"] = bench("no river chain", True, ("ele", "edge", "seg"))
+    if "ele" in want:
+        t["ele"] = bench("elementwise only", True, ("ele",))
+    if "eleedge" in want:
+        t["eleedge"] = bench("ele+edge (kernel path)", True, ("ele", "edge"))
+    if "xla" in want:
+        t["xla"] = bench("FULL (XLA fallback)", False, full)
 
     print("\nby difference (vs FULL pallas):")
-    print(f"  edge stencil (kernel+merge): {1e3*(t_full-t_noedge):7.3f} ms")
-    print(f"  segments:                    {1e3*(t_full-t_noseg):7.3f} ms")
-    print(f"  river chain:                 {1e3*(t_full-t_noriv):7.3f} ms")
-    print(f"  elementwise+assembly floor:  {1e3*t_ele:7.3f} ms")
-    print(f"  ele+edge composition:        {1e3*t_edge:7.3f} ms")
-    print(f"  XLA-fallback delta:          {1e3*(t_full_x-t_full):7.3f} ms")
+    if "noedge" in t:
+        print(f"  edge stencil (kernel+merge): "
+              f"{1e3*(t['full']-t['noedge']):7.3f} ms")
+    if "noseg" in t:
+        print(f"  segments:                    "
+              f"{1e3*(t['full']-t['noseg']):7.3f} ms")
+    if "noriv" in t:
+        print(f"  river chain:                 "
+              f"{1e3*(t['full']-t['noriv']):7.3f} ms")
+    if "ele" in t:
+        print(f"  elementwise+assembly floor:  {1e3*t['ele']:7.3f} ms")
+    if "eleedge" in t:
+        print(f"  ele+edge composition:        {1e3*t['eleedge']:7.3f} ms")
+    if "xla" in t:
+        print(f"  XLA-fallback delta:          "
+              f"{1e3*(t['xla']-t['full']):7.3f} ms")
 
 
 def kernel_probe():
